@@ -1,0 +1,182 @@
+"""Building-block layers: ConvBnAct, CSP blocks, SPPF. flax.linen, NHWC.
+
+Capability parity (hyperparameters, graph topology, init distributions):
+  * ConvBnAct     — torchvision Conv2dNormActivation as used across kod/nn/
+                    (conv bias=False + BN(eps=1e-3, momentum=0.03) + SiLU)
+  * CSPBlock/CSPLayer — kod/nn/layers/csp.py:16-111 (inner expand fixed 1.0)
+  * SPPFBottleneck    — kod/nn/layers/sppf.py (0.5x reduce, 3 chained 5x5
+                    maxpools, concat(4), 1x1 out; list-of-kernels SPP variant)
+
+TPU-first notes: NHWC layout throughout (XLA's preferred conv layout),
+BatchNorm given an optional ``axis_name`` so cross-replica stats (the
+sync_batchnorm analog) come from a mesh axis when training under shard_map;
+under plain pjit over a sharded batch, XLA's global reductions already give
+synced statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == uniform with
+# bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform).
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype, fan_in: int):
+    """torch Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    import jax
+
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class ConvBnAct(nn.Module):
+    """Conv (no bias) + BatchNorm + SiLU — Conv2dNormActivation equivalent."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None  # None -> (k-1)//2, torchvision default
+    bn_eps: float = 1e-3  # ref networks/yolov5.py:24
+    bn_momentum: float = 0.03  # torch convention; flax decay = 1 - this
+    axis_name: Optional[str] = None  # cross-replica BN stats axis
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 for MXU)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = (k - 1) // 2 if self.padding is None else self.padding
+        x = nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x)
+
+
+class CSPBlock(nn.Module):
+    """1x1 -> 3x3 with optional residual (ref csp.py:16-58)."""
+
+    features: int
+    expand_ratio: float = 0.5
+    add_identity: bool = True
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.features * self.expand_ratio)
+        out = ConvBnAct(
+            hidden, 1, axis_name=self.axis_name, dtype=self.dtype, name="conv1"
+        )(x, train)
+        out = ConvBnAct(
+            self.features, 3, axis_name=self.axis_name, dtype=self.dtype, name="conv2"
+        )(out, train)
+        if self.add_identity and x.shape[-1] == self.features:
+            return out + x
+        return out
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial layer (ref csp.py:66-111).
+
+    short/main 1x1 branches, N CSPBlocks (inner expand_ratio fixed to 1.0,
+    ref csp.py:95) on main, concat, 1x1 out.
+    """
+
+    features: int
+    num_blocks: int = 1
+    expand_ratio: float = 0.5
+    add_identity: bool = True
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mid = int(self.features * self.expand_ratio)
+        cba = lambda f, k, name: ConvBnAct(
+            f, k, axis_name=self.axis_name, dtype=self.dtype, name=name
+        )
+        x_short = cba(mid, 1, "short_conv")(x, train)
+        x_main = cba(mid, 1, "main_conv")(x, train)
+        for i in range(self.num_blocks):
+            x_main = CSPBlock(
+                mid,
+                expand_ratio=1.0,
+                add_identity=self.add_identity,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x_main, train)
+        x_cat = jnp.concatenate([x_main, x_short], axis=-1)
+        return cba(self.features, 1, "last_conv")(x_cat, train)
+
+
+def _maxpool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """stride-1 maxpool with 'same' padding k//2 (torch MaxPool2d parity)."""
+    pad = k // 2
+    return nn.max_pool(
+        x,
+        window_shape=(k, k),
+        strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+    )
+
+
+class SPPFBottleneck(nn.Module):
+    """Spatial pyramid pooling - fast (ref sppf.py:14-85).
+
+    int kernel_sizes -> SPPF: 3 chained k-pools, concat(x,y1,y2,y3);
+    sequence -> SPP: parallel pools, concat(x, pools...).
+    """
+
+    features: int
+    kernel_sizes: Union[int, Sequence[int]] = 5
+    use_conv_first: bool = True
+    mid_channels_scale: float = 0.5
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.use_conv_first:
+            mid = int(x.shape[-1] * self.mid_channels_scale)
+            x = ConvBnAct(
+                mid, 1, axis_name=self.axis_name, dtype=self.dtype, name="conv1"
+            )(x, train)
+        if isinstance(self.kernel_sizes, int):
+            k = self.kernel_sizes
+            y1 = _maxpool_same(x, k)
+            y2 = _maxpool_same(y1, k)
+            y3 = _maxpool_same(y2, k)
+            x = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        else:
+            pools = [_maxpool_same(x, k) for k in self.kernel_sizes]
+            x = jnp.concatenate([x] + pools, axis=-1)
+        return ConvBnAct(
+            self.features, 1, axis_name=self.axis_name, dtype=self.dtype, name="conv2"
+        )(x, train)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2, mode='nearest') parity, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
