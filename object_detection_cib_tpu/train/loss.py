@@ -1,0 +1,159 @@
+"""YOLOv5 composite loss (CIoU box + BCE objectness + BCE classification).
+
+Capability parity: kod/lightning/experiments/yv5_baseline/loss.py:25-248,
+re-expressed as masked fixed-shape computation under jit:
+
+  * box decode at matched cells: xy = sigmoid*2-0.5, wh = (sigmoid*2)^2*anchor
+                                             (ref loss.py:77-80)
+  * localization: (1 - CIoU).mean over matches (ref loss.py:94-96) -> masked
+    mean over valid slots
+  * objectness: BCE(mean over full map) with target = detached clamped IoU
+    scattered at matched indices (ref loss.py:100-126), per-level weights
+    4.0/1.0/0.4 (ref loss.py:40-42)
+  * classification: one-hot BCE with optional per-class pos_weight — the
+    loss-reweighing imbalance strategy (ref loss.py:58-63,155-160)
+  * dynamic lambda scaling: obj by (img/640)^2, cls by nc/80
+                                             (ref loss.py:229-237)
+
+Losses are computed in fp32 regardless of network compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from object_detection_cib_tpu.core.assigner import Assignment, LevelAssignment
+from object_detection_cib_tpu.core.boxes import cxcywh_to_xyxy
+from object_detection_cib_tpu.core.iou import IoUType, get_iou_fn
+from object_detection_cib_tpu.core.types import FeatureShape
+from object_detection_cib_tpu.models.yolov5 import (
+    DetectionHeadResult,
+    Yolov5NetworkResult,
+)
+
+
+class LossParams(NamedTuple):
+    """ref Yolov5LossParams defaults (loss.py:34-43)."""
+
+    lambda_classification: float = 0.5
+    lambda_localization: float = 0.05
+    lambda_objectness: float = 1.0
+    lambda_ll_objectness: float = 4.0
+    lambda_ml_objectness: float = 1.0
+    lambda_hl_objectness: float = 0.4
+    iou_type: str = "ciou"
+    eps: float = 1e-7
+
+
+class LossResult(NamedTuple):
+    localization: jnp.ndarray
+    objectness: jnp.ndarray
+    classification: jnp.ndarray
+
+    @property
+    def total(self) -> jnp.ndarray:
+        return self.localization + self.objectness + self.classification
+
+
+def bce_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    pos_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Elementwise BCE-with-logits, torch semantics.
+
+    loss = pw * t * softplus(-x) + (1 - t) * softplus(x)
+    """
+    pos = jax.nn.softplus(-logits)
+    neg = jax.nn.softplus(logits)
+    if pos_weight is not None:
+        pos = pos * pos_weight
+    return targets * pos + (1.0 - targets) * neg
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    cnt = jnp.maximum(mask.sum(), 1.0)
+    return (x * mask).sum() / cnt
+
+
+def _level_losses(
+    head: DetectionHeadResult,
+    assign: LevelAssignment,
+    iou_fn,
+    class_weights: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (loc_loss, obj_loss_unweighted, cls_loss) for one level."""
+    box = head.box.astype(jnp.float32)
+    obj = head.obj.astype(jnp.float32)
+    cls = head.cls.astype(jnp.float32)
+    B, H, W, A, _ = box.shape
+    s, gy, gx, a = assign.sample_idx, assign.grid_y, assign.grid_x, assign.anchor_idx
+    valid = assign.valid.astype(jnp.float32)
+
+    # --- localization (ref loss.py:65-98)
+    p = box[s, gy, gx, a]  # (K, 4) gather
+    pred_xy = jax.nn.sigmoid(p[:, 0:2]) * 2.0 - 0.5
+    pred_wh = (jax.nn.sigmoid(p[:, 2:4]) * 2.0) ** 2 * assign.anchors_wh
+    pred_xyxy = cxcywh_to_xyxy(jnp.concatenate([pred_xy, pred_wh], axis=-1))
+    gt_xyxy = cxcywh_to_xyxy(assign.txywh)
+    iou = iou_fn(pred_xyxy, gt_xyxy)  # (K,)
+    loc_loss = _masked_mean(1.0 - iou, valid)
+
+    # --- objectness (ref loss.py:100-126): scatter detached clamped IoU
+    iou_t = jax.lax.stop_gradient(jnp.clip(iou, 0.0))
+    # Route invalid slots out of bounds so 'drop' discards them without
+    # clobbering cell (0,0,0,0).
+    s_sc = jnp.where(assign.valid, s, B)
+    tgt = jnp.zeros((B, H, W, A), jnp.float32)
+    tgt = tgt.at[s_sc, gy, gx, a].set(iou_t, mode="drop")
+    obj_loss = bce_with_logits(obj[..., 0], tgt).mean()
+
+    # --- classification (ref loss.py:128-164)
+    nc = cls.shape[-1]
+    pc = cls[s, gy, gx, a]  # (K, nc)
+    one_hot = jax.nn.one_hot(assign.labels, nc, dtype=jnp.float32)
+    cls_el = bce_with_logits(pc, one_hot, pos_weight=class_weights)  # (K, nc)
+    # reference mean over (matches x classes); masked rows excluded
+    cls_loss = (cls_el * valid[:, None]).sum() / jnp.maximum(valid.sum() * nc, 1.0)
+
+    return loc_loss, obj_loss, cls_loss
+
+
+def yolov5_loss(
+    net_result: Yolov5NetworkResult,
+    assignment: Assignment,
+    image_shape: FeatureShape,
+    params: LossParams = LossParams(),
+    class_weights: Optional[jnp.ndarray] = None,
+) -> LossResult:
+    """Full three-level loss. All inputs fixed-shape; jit/pjit-safe.
+
+    class_weights: optional (nc,) per-class BCE pos_weight — the
+    loss-reweighing imbalance mitigation (ref tasks/trainer.py:54-60).
+    """
+    iou_fn = get_iou_fn(IoUType(params.iou_type), eps=params.eps)
+    level_obj_w = (
+        params.lambda_ll_objectness,
+        params.lambda_ml_objectness,
+        params.lambda_hl_objectness,
+    )
+
+    loc = obj = cls = 0.0
+    for head, assign, w in zip(net_result.levels(), assignment.levels(), level_obj_w):
+        l, o, c = _level_losses(head, assign, iou_fn, class_weights)
+        loc = loc + l
+        obj = obj + w * o
+        cls = cls + c
+
+    nc = net_result.ll.cls.shape[-1]
+    lambda_obj = params.lambda_objectness * (image_shape.width / 640.0) ** 2
+    lambda_cls = params.lambda_classification * (nc / 80.0)
+
+    return LossResult(
+        localization=params.lambda_localization * loc,
+        objectness=lambda_obj * obj,
+        classification=lambda_cls * cls,
+    )

@@ -14,3 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS at import time;
+# jax.config.update takes precedence again. Must run before backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
