@@ -1,0 +1,190 @@
+"""Smart-SGD optimizer: 3 param groups, epoch schedules, per-step warmup.
+
+Capability parity:
+  * param groups — kod/nn/optim/smart.py:20-60: ``bias`` (any param named
+    bias, incl. BN bias -> no decay, warmup from 0.1), ``norm`` (BN scale ->
+    no decay), ``decay`` (conv/linear kernels -> weight_decay 5e-4)
+  * SGD semantics — torch.optim.SGD(momentum=0.937, nesterov=True) with
+    coupled weight decay (g += wd * w before the momentum buffer)
+  * epoch-indexed schedules — kod/nn/optim/schedulers.py:13-24
+    (linear / cosine one-cycle / cosine-annealing / step)
+  * warmup — kod/.../warmup.py:39-58 + exp.py:164-185: for the first
+    nw = max(round(steps_per_epoch*3), 100) steps, linear interp of each
+    group's lr (bias from 0.1, others from 0) to lr0*sch(epoch), and of
+    momentum from 0.8 to 0.937.
+
+TPU-first: hyperparameters (lr per group, momentum) are *traced* functions
+of the step counter, so one compiled train_step serves the whole run — no
+per-step host-side optimizer mutation as in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# epoch-indexed schedule factors (multiply lr0): ref schedulers.py:13-24
+# --------------------------------------------------------------------------
+
+def sch_linear(epoch, max_epochs: int, lrf: float):
+    return (1.0 - epoch / max_epochs) * (1.0 - lrf) + lrf
+
+
+def sch_cosine(epoch, max_epochs: int, lrf: float):
+    return 1.0 + 0.5 * (lrf - 1.0) * (1.0 - jnp.cos(epoch / max_epochs * math.pi))
+
+
+def sch_cosine_annealing(epoch, max_epochs: int, lrf: float):
+    return ((1.0 + jnp.cos(epoch * math.pi / max_epochs)) / 2.0) * (1.0 - lrf) + lrf
+
+
+def sch_step(epoch, step_size: int = 100, gamma: float = 0.5):
+    return gamma ** jnp.floor(epoch / step_size)
+
+
+def make_schedule(name: str, max_epochs: int, lrf: float = 0.01, **kw) -> Callable:
+    if name == "linear":
+        return lambda e: sch_linear(e, max_epochs, lrf)
+    if name == "cosine":
+        return lambda e: sch_cosine(e, max_epochs, lrf)
+    if name == "cosine_annealing":
+        return lambda e: sch_cosine_annealing(e, max_epochs, lrf)
+    if name == "step":
+        return lambda e: sch_step(e, **kw)
+    raise ValueError(f"unknown schedule {name!r}")
+
+
+# --------------------------------------------------------------------------
+# param grouping
+# --------------------------------------------------------------------------
+
+GROUP_BIAS, GROUP_NORM, GROUP_DECAY = 0, 1, 2
+
+
+def group_params(params: Any) -> Any:
+    """Label each param leaf with its optimizer group.
+
+    flax naming: BatchNorm has 'scale'/'bias'; Conv has 'kernel'/'bias'.
+    Reference rule (smart.py:30-40): name == 'bias' -> bias group;
+    norm-layer weight (BN scale) -> norm group; everything else -> decay.
+    """
+
+    def label(path, _leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        last = names[-1]
+        if last == "bias":
+            return GROUP_BIAS
+        if last == "scale":
+            return GROUP_NORM
+        return GROUP_DECAY
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class WarmupParams(NamedTuple):
+    """ref configs/model/yv5.yaml optimizer_warmup_updater block."""
+
+    warmup_epochs: float = 3.0
+    warmup_bias_lr: float = 0.1
+    warmup_momentum: float = 0.8
+
+
+class OptimizerConfig(NamedTuple):
+    lr0: float = 0.01  # ref configs/nn/optimizers/smart_sgd.yaml
+    momentum: float = 0.937
+    nesterov: bool = True
+    weight_decay: float = 5e-4
+    schedule: str = "linear"
+    lrf: float = 0.01
+    max_epochs: int = 300
+    warmup: Optional[WarmupParams] = WarmupParams()
+
+
+class SmartSGDState(NamedTuple):
+    momentum_buf: Any  # pytree like params
+
+
+def _interp(x, x1, y0, y1):
+    """np.interp(x, [0, x1], [y0, y1]) with clamping (ref warmup.py:39-58)."""
+    t = jnp.clip(x / jnp.maximum(x1, 1), 0.0, 1.0)
+    return y0 + t * (y1 - y0)
+
+
+class SmartSGD:
+    """Jittable SGD with grouped lr/decay and warmup-aware hyperparams.
+
+    Usage:
+      opt = SmartSGD(config, steps_per_epoch)
+      state = opt.init(params)
+      new_params, new_state = opt.update(grads, state, params, step)
+    """
+
+    def __init__(self, config: OptimizerConfig, steps_per_epoch: int):
+        self.config = config
+        self.steps_per_epoch = max(int(steps_per_epoch), 1)
+        self.sch_fn = make_schedule(config.schedule, config.max_epochs, config.lrf)
+        if config.warmup is not None:
+            # nw = max(round(num_batches * warmup_epochs), 100)  (ref exp.py:167-173)
+            self.nw = max(round(self.steps_per_epoch * config.warmup.warmup_epochs), 100)
+        else:
+            self.nw = 0
+
+    def init(self, params: Any) -> SmartSGDState:
+        return SmartSGDState(
+            momentum_buf=jax.tree.map(jnp.zeros_like, params)
+        )
+
+    def hyperparams(self, step: jnp.ndarray):
+        """Traced (lr_bias, lr_other, momentum) at a global step."""
+        cfg = self.config
+        epoch = jnp.floor_divide(step, self.steps_per_epoch)
+        lr_sched = cfg.lr0 * self.sch_fn(epoch.astype(jnp.float32))
+        if cfg.warmup is None or self.nw == 0:
+            return lr_sched, lr_sched, jnp.asarray(cfg.momentum, jnp.float32)
+        w = cfg.warmup
+        in_warmup = step <= self.nw  # ref exp.py:175-176 (applies while <= nw)
+        lr_bias = jnp.where(
+            in_warmup, _interp(step, self.nw, w.warmup_bias_lr, lr_sched), lr_sched
+        )
+        lr_other = jnp.where(
+            in_warmup, _interp(step, self.nw, 0.0, lr_sched), lr_sched
+        )
+        mom = jnp.where(
+            in_warmup,
+            _interp(step, self.nw, w.warmup_momentum, cfg.momentum),
+            cfg.momentum,
+        ).astype(jnp.float32)
+        return lr_bias, lr_other, mom
+
+    def update(self, grads: Any, state: SmartSGDState, params: Any, step):
+        cfg = self.config
+        lr_bias, lr_other, mom = self.hyperparams(step)
+        groups = group_params(params)
+
+        def upd(g, p, buf, group):
+            g = g.astype(jnp.float32)
+            if group == GROUP_DECAY and cfg.weight_decay:
+                g = g + cfg.weight_decay * p  # torch coupled decay
+            new_buf = mom * buf + g
+            d = g + mom * new_buf if cfg.nesterov else new_buf
+            lr = lr_bias if group == GROUP_BIAS else lr_other
+            return p - lr * d, new_buf
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_b = treedef.flatten_up_to(state.momentum_buf)
+        flat_groups = treedef.flatten_up_to(groups)
+        new_p, new_b = [], []
+        for g, p, b, grp in zip(flat_g, flat_p, flat_b, flat_groups):
+            np_, nb_ = upd(g, p, b, grp)
+            new_p.append(np_)
+            new_b.append(nb_)
+        return (
+            jax.tree.unflatten(treedef, new_p),
+            SmartSGDState(momentum_buf=jax.tree.unflatten(treedef, new_b)),
+        )

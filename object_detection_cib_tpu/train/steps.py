@@ -1,0 +1,179 @@
+"""Jitted train / eval steps over a device mesh.
+
+Capability parity: kod/lightning/experiments/yv5_baseline/exp.py —
+  * training_step (exp.py:104-138): forward -> assign -> loss ->
+    total = batch_size * (box + cls + obj)
+  * validation_step (exp.py:140-154): forward(eval) -> decode -> NMS
+    (conf 0.001 / iou 0.6, exp.py:45-46)
+  * configure_optimizers + on_before_optimizer_step warmup (exp.py:156-185)
+
+TPU-first: one compiled function per step type. The batch is sharded over
+the mesh's ``data`` axis; parameters/optimizer state are replicated. XLA
+inserts the gradient all-reduce (psum over ICI) and computes BatchNorm
+statistics over the global batch (sync-BN semantics). The step counter lives
+on device so warmup hyperparams are traced, not host-updated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from object_detection_cib_tpu.core.assigner import assign_targets
+from object_detection_cib_tpu.core.nms import NMSResult, non_max_suppression
+from object_detection_cib_tpu.core.types import FeatureShape, LevelAnchors
+from object_detection_cib_tpu.eval.decode import decode_predictions
+from object_detection_cib_tpu.train.loss import LossParams, yolov5_loss
+from object_detection_cib_tpu.train.optim import SmartSGD, SmartSGDState
+
+
+class Batch(NamedTuple):
+    """Fixed-shape detection batch (the collate contract).
+
+    The reference keeps ragged per-image targets through collate
+    (kod/lightning/data_module.py:82-87); here targets are padded to a static
+    capacity T with a validity mask — the fixed-shape contract the assigner
+    and loss consume.
+    """
+
+    images: jnp.ndarray  # (B, H, W, 3) float32 in [0, 1]
+    boxes: jnp.ndarray  # (B, T, 4) xyxy pixels
+    labels: jnp.ndarray  # (B, T) int32
+    mask: jnp.ndarray  # (B, T) bool
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: SmartSGDState
+    step: jnp.ndarray  # () int32
+
+
+class StepMetrics(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    obj: jnp.ndarray
+    cls: jnp.ndarray
+    lr: jnp.ndarray
+
+
+def create_train_state(net, rng, image_shape: FeatureShape, optimizer: SmartSGD):
+    variables = net.init(
+        rng, jnp.zeros((1, image_shape.height, image_shape.width, 3)), train=False
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    net,
+    anchors: LevelAnchors,
+    image_shape: FeatureShape,
+    optimizer: SmartSGD,
+    loss_params: LossParams = LossParams(),
+    class_weights: Optional[jnp.ndarray] = None,
+    assign_threshold: float = 4.0,
+):
+    """Build the un-jitted train step; wrap with jit_train_step for a mesh."""
+
+    def train_step(state: TrainState, batch: Batch):
+        def loss_fn(params):
+            out, mutated = net.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            assignment = assign_targets(
+                batch.boxes,
+                batch.labels,
+                batch.mask,
+                image_shape,
+                anchors,
+                assign_threshold,
+            )
+            lres = yolov5_loss(
+                out, assignment, image_shape, loss_params, class_weights
+            )
+            # total = batch_size * (box + cls + obj)  (ref exp.py:126-130)
+            total = batch.images.shape[0] * lres.total
+            return total, (lres, mutated["batch_stats"])
+
+        (total, (lres, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_params, new_opt = optimizer.update(
+            grads, state.opt_state, state.params, state.step
+        )
+        _, lr_other, _ = optimizer.hyperparams(state.step)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        metrics = StepMetrics(
+            total=total,
+            box=lres.localization,
+            obj=lres.objectness,
+            cls=lres.classification,
+            lr=lr_other,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    net,
+    anchors: LevelAnchors,
+    conf_thres: float = 0.001,  # ref exp.py:45
+    iou_thres: float = 0.6,  # ref exp.py:46
+    max_det: int = 300,
+    max_nms: int = 2048,
+):
+    def eval_step(params, batch_stats, images) -> NMSResult:
+        out = net.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        det = decode_predictions(out, anchors)
+        return non_max_suppression(
+            det,
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            max_det=max_det,
+            max_nms=max_nms,
+        )
+
+    return eval_step
+
+
+def jit_train_step(train_step, mesh: Mesh):
+    """Compile the step for a mesh: batch sharded on `data`, state replicated."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, Batch(data, data, data, data)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, repl, data),
+        out_shardings=data,
+    )
