@@ -1,0 +1,121 @@
+"""Benchmark: YOLOv5-s training throughput (images/sec/chip) on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 2,000 train images/sec/chip for yolov5s @ 640
+(BASELINE.md driver targets). Also reports NMS p50 latency as extra fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_fake_batch(B, img, T, nc, seed=0):
+    from object_detection_cib_tpu.train.steps import Batch
+
+    rng = np.random.default_rng(seed)
+    boxes = np.zeros((B, T, 4), np.float32)
+    labels = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), bool)
+    for b in range(B):
+        n = rng.integers(1, min(T, 20))
+        for t in range(n):
+            x, y = rng.uniform(0, img - 40, 2)
+            w, h = rng.uniform(8, 120, 2)
+            boxes[b, t] = [x, y, min(x + w, img - 1), min(y + h, img - 1)]
+            labels[b, t] = rng.integers(0, nc)
+            mask[b, t] = True
+    return Batch(
+        images=jnp.asarray(rng.random((B, img, img, 3), np.float32)),
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray(labels),
+        mask=jnp.asarray(mask),
+    )
+
+
+def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s"):
+    from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
+    from object_detection_cib_tpu.models.yolov5 import build_network
+    from object_detection_cib_tpu.train.optim import OptimizerConfig, SmartSGD
+    from object_detection_cib_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    shape = FeatureShape(img, img)
+    net = build_network(nc, size, dtype=jnp.bfloat16)
+    opt = SmartSGD(OptimizerConfig(max_epochs=300), steps_per_epoch=100)
+    state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+    step = jax.jit(
+        make_train_step(net, default_anchors(), shape, opt), donate_argnums=(0,)
+    )
+    b = make_fake_batch(batch, img, 60, nc)
+
+    for _ in range(warmup_steps):
+        state, metrics = step(state, b)
+    jax.block_until_ready(metrics.total)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, b)
+    jax.block_until_ready(metrics.total)
+    dt = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    return batch * steps / dt / n_chips, float(metrics.total)
+
+
+def bench_nms(img=640, nc=10, batch=8, iters=50):
+    from object_detection_cib_tpu.core.nms import non_max_suppression
+
+    n = sum((img // s) ** 2 * 3 for s in (8, 16, 32))
+    rng = np.random.default_rng(0)
+    det = jnp.asarray(rng.random((batch, n, 5 + nc), np.float32) * 0.5)
+    f = jax.jit(
+        lambda d: non_max_suppression(d, conf_thres=0.001, iou_thres=0.6)
+    )
+    r = f(det)
+    jax.block_until_ready(r.boxes)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = f(det)
+        jax.block_until_ready(r.boxes)
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(times, 50))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--skip-nms", action="store_true")
+    args = ap.parse_args()
+
+    ips, last_loss = bench_train(img=args.img, batch=args.batch, steps=args.steps)
+    nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
+
+    out = {
+        "metric": "train_images_per_sec_per_chip_yolov5s_640",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 2000.0, 4),
+        "extra": {
+            "nms_p50_ms": None if nms_p50 is None else round(nms_p50, 3),
+            "last_loss": round(last_loss, 4),
+            "batch": args.batch,
+            "img": args.img,
+            "n_chips": jax.device_count(),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,347 @@
+"""Data layer tests: manifest cache (+reference pickle compat), reader,
+samplers, mosaic, host augmentations, pipeline."""
+
+import pickle
+import sys
+import types
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from object_detection_cib_tpu.data.cache import (
+    DatasetInfo,
+    ImageMetadata,
+    SampleInfo,
+    TargetInfo,
+    XYXYBox,
+    deserialize_cached_dataset,
+    serialize_cached_dataset,
+)
+from object_detection_cib_tpu.data.host_augment import (
+    AffineParams,
+    AffineValues,
+    AugParams,
+    HSVParams,
+    TrainSampleAugmentor,
+    augment_hsv,
+    horizontal_flip,
+    mixup,
+    mosaic4,
+    random_perspective,
+)
+from object_detection_cib_tpu.data.reader import (
+    AugmentedSample,
+    SampleReader,
+    letterbox_pad,
+    longest_max_size,
+)
+from object_detection_cib_tpu.data.samplers import (
+    ClassAwareSampler,
+    RandomCycleSampler,
+    RepeatFactorSampler,
+    ShuffleSampler,
+    shard_indices,
+)
+from object_detection_cib_tpu.data.synthetic import build_fake_manifest
+
+
+def _tiny_info(counts={"a": 6, "b": 2, "c": 1}):
+    """One sample per instance, single-target samples."""
+    samples = []
+    i = 0
+    for cname, n in counts.items():
+        for _ in range(n):
+            samples.append(
+                SampleInfo(
+                    id=f"s{i}",
+                    image_path=f"img{i}.jpg",
+                    image_metadata=ImageMetadata(64, 48, 3, "image/jpeg", 0),
+                    targets=[
+                        TargetInfo(XYXYBox(1.0, 1.0, 30.0, 30.0), cname)
+                    ],
+                )
+            )
+            i += 1
+    return DatasetInfo("tiny", datetime.now(), list(counts), samples)
+
+
+# ------------------------- cache -------------------------
+
+def test_cache_roundtrip(tmp_path):
+    info = _tiny_info()
+    serialize_cached_dataset(info, "train", tmp_path)
+    loaded = deserialize_cached_dataset("tiny", "train", tmp_path)
+    assert loaded == info
+
+
+def test_cache_reference_pickle_compat(tmp_path):
+    """Simulate a cache pickled by the reference (module paths kod.*)."""
+    kod = types.ModuleType("kod")
+    data_mod = types.ModuleType("kod.data")
+    cache_mod = types.ModuleType("kod.data.cache")
+    bbox_mod = types.ModuleType("kod.core.bbox.boxes")
+    import typing
+
+    class XYXYBoundingBox(typing.NamedTuple):
+        x_min: float
+        y_min: float
+        x_max: float
+        y_max: float
+
+    class _ImageMetadata(typing.NamedTuple):
+        width: int
+        height: int
+        num_channels: int
+        mime_type: str
+        size_bytes: int
+
+    class _TargetInfo(typing.NamedTuple):
+        bounding_box: object
+        class_name: str
+
+    class _SampleInfo(typing.NamedTuple):
+        id: str
+        image_path: str
+        image_metadata: object
+        targets: list
+
+    class _DatasetInfo(typing.NamedTuple):
+        name: str
+        date: object
+        classes: list
+        samples: list
+
+    for cls, mod, name in [
+        (XYXYBoundingBox, bbox_mod, "XYXYBoundingBox"),
+        (_ImageMetadata, cache_mod, "ImageMetadata"),
+        (_TargetInfo, cache_mod, "TargetInfo"),
+        (_SampleInfo, cache_mod, "SampleInfo"),
+        (_DatasetInfo, cache_mod, "DatasetInfo"),
+    ]:
+        cls.__module__ = mod.__name__
+        cls.__qualname__ = name
+        cls.__name__ = name
+        setattr(mod, name, cls)
+
+    sys.modules.update(
+        {
+            "kod": kod,
+            "kod.data": data_mod,
+            "kod.data.cache": cache_mod,
+            "kod.core.bbox.boxes": bbox_mod,
+        }
+    )
+    try:
+        ref_info = _DatasetInfo(
+            name="refds",
+            date=datetime(2023, 1, 1),
+            classes=["x"],
+            samples=[
+                _SampleInfo(
+                    id="r0",
+                    image_path="p.jpg",
+                    image_metadata=_ImageMetadata(10, 10, 3, "image/jpeg", 5),
+                    targets=[_TargetInfo(XYXYBoundingBox(0.0, 0.0, 5.0, 5.0), "x")],
+                )
+            ],
+        )
+        with open(tmp_path / "kod-refds-validation.pkl", "wb") as fp:
+            pickle.dump(ref_info, fp)
+    finally:
+        for m in ["kod", "kod.data", "kod.data.cache", "kod.core.bbox.boxes"]:
+            sys.modules.pop(m, None)
+
+    loaded = deserialize_cached_dataset("refds", "validation", tmp_path)
+    assert isinstance(loaded, DatasetInfo)
+    assert loaded.samples[0].targets[0].bounding_box == XYXYBox(0, 0, 5, 5)
+    assert loaded.classes == ["x"]
+
+
+def test_filter_and_instance_count():
+    info = _tiny_info()
+    assert info.get_instance_count() == {"a": 6, "b": 2, "c": 1}
+    f = info.filter("only-b", ["b"])
+    assert len(f.samples) == 2
+    assert f.classes == ["b"]
+    with pytest.raises(ValueError):
+        info.filter("bad", ["zzz"])
+
+
+# ------------------------- reader -------------------------
+
+def test_fake_reader_shapes_and_resize():
+    info = build_fake_manifest(num_images=4, image_size=100, seed=1)
+    reader = SampleReader(64, info.classes, fake_mode=True)
+    s = reader(info.samples[0], letter_box=True)
+    assert s.image.shape == (64, 64, 3)
+    assert s.image.dtype == np.uint8
+    if len(s.bboxes):
+        assert s.bboxes.min() >= 0 and s.bboxes.max() <= 64
+
+
+def test_longest_max_size_scaling():
+    img = np.zeros((50, 100, 3), np.uint8)
+    boxes = np.asarray([[10.0, 10.0, 50.0, 40.0]])
+    out, b = longest_max_size(img, boxes, 64)
+    assert out.shape[:2] == (32, 64)
+    np.testing.assert_allclose(b, boxes * 0.64)
+
+
+def test_letterbox_pad_fill_and_shift():
+    img = np.zeros((32, 64, 3), np.uint8)
+    boxes = np.asarray([[0.0, 0.0, 10.0, 10.0]])
+    out, b = letterbox_pad(img, boxes, 64)
+    assert out.shape[:2] == (64, 64)
+    assert out[0, 0, 0] == 114  # top pad
+    assert out[16, 0, 0] == 0  # image content
+    np.testing.assert_allclose(b, [[0, 16, 10, 26]])
+
+
+def test_degenerate_boxes_dropped():
+    info = _tiny_info()
+    bad = info.samples[0]._replace(
+        targets=[TargetInfo(XYXYBox(5.0, 5.0, 5.0, 10.0), "a")]
+    )
+    reader = SampleReader(64, info.classes, fake_mode=True)
+    s = reader(bad)
+    assert len(s.bboxes) == 0
+
+
+# ------------------------- samplers -------------------------
+
+def test_random_cycle_covers_all():
+    rcs = RandomCycleSampler([10, 11, 12], np.random.default_rng(0))
+    drawn = [next(rcs) for _ in range(6)]
+    assert sorted(drawn[:3]) == [10, 11, 12]
+    assert sorted(drawn[3:]) == [10, 11, 12]
+
+
+def test_class_aware_balances():
+    info = _tiny_info({"a": 20, "b": 2, "c": 1})
+    s = ClassAwareSampler(info, seed=0)
+    idx = s.epoch_indices()
+    assert len(idx) == len(info.samples)
+    # count drawn instances per class; should be near-uniform (ref README
+    # class-aware algorithm), unlike the raw 20/2/1 distribution
+    names = [info.samples[i].targets[0].class_name for i in idx]
+    counts = {c: names.count(c) for c in info.classes}
+    assert counts["b"] + counts["c"] > len(idx) * 0.45
+
+
+def test_repeat_factor_golden():
+    # counts: a=6, b=2, c=1, total=9; f: a=2/3, b=2/9, c=1/9
+    # r_c = sqrt(max(1, 1/f)): a=sqrt(1.5), b=sqrt(4.5), c=3
+    info = _tiny_info()
+    s = RepeatFactorSampler(info, reduction=None, threshold=1.0, use_sqrt=True)
+    rc = s.class_repeat_factor
+    assert rc["a"] == pytest.approx(np.sqrt(1.5))
+    assert rc["b"] == pytest.approx(np.sqrt(4.5))
+    assert rc["c"] == pytest.approx(3.0)
+    # single-target images: image factor == class factor (mean reduction)
+    assert s.image_repeat_factors[0] == pytest.approx(np.sqrt(1.5), rel=1e-4)
+    idx = s.epoch_indices()
+    assert len(idx) == len(info.samples)
+
+
+def test_repeat_factor_max_reduction():
+    info = _tiny_info()
+    multi = info.samples[0]._replace(
+        targets=[
+            TargetInfo(XYXYBox(1.0, 1.0, 5.0, 5.0), "a"),
+            TargetInfo(XYXYBox(1.0, 1.0, 5.0, 5.0), "c"),
+        ]
+    )
+    info2 = info._replace(samples=[multi] + info.samples[1:])
+    # new counts: a=6, b=2, c=2 (total 10) -> r_a=sqrt(10/6), r_c=sqrt(5)
+    s = RepeatFactorSampler(info2, reduction="max")
+    assert s.image_repeat_factors[0] == pytest.approx(np.sqrt(5.0))
+
+
+def test_shard_indices():
+    idx = np.arange(10)
+    a = shard_indices(idx, 0, 2)
+    b = shard_indices(idx, 1, 2)
+    assert sorted(np.concatenate([a, b]).tolist()) == list(range(10))
+
+
+# ------------------------- mosaic + augment -------------------------
+
+def _sample_with_box(size=48, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+    return AugmentedSample(
+        img,
+        np.asarray([[8.0, 8.0, 40.0, 40.0]], np.float32),
+        np.asarray([1], np.int64),
+    )
+
+
+def test_mosaic_canvas():
+    rng = np.random.default_rng(0)
+    samples = [_sample_with_box(seed=i) for i in range(4)]
+    out, border = mosaic4(samples, 64, rng)
+    assert out.image.shape == (128, 128, 3)
+    assert border == (-32, -32)
+    assert len(out.bboxes) <= 4
+    if len(out.bboxes):
+        assert out.bboxes.min() >= 0 and out.bboxes.max() <= 127
+
+
+def test_identity_affine_is_noop():
+    s = _sample_with_box()
+    v = AffineValues(0, 0, 0, 1.0, 0, 0, 0.5, 0.5)
+    out = random_perspective(s, v)
+    np.testing.assert_array_equal(out.image, s.image)
+    np.testing.assert_allclose(out.bboxes, s.bboxes, atol=1e-6)
+
+
+def test_translate_affine_moves_boxes():
+    s = _sample_with_box()
+    # translate +25% of width right
+    v = AffineValues(0, 0, 0, 1.0, 0, 0, 0.75, 0.5)
+    out = random_perspective(s, v)
+    assert out.bboxes[0, 0] == pytest.approx(8 + 0.25 * 48, abs=1.0)
+
+
+def test_flip_involution():
+    s = _sample_with_box()
+    out = horizontal_flip(horizontal_flip(s))
+    np.testing.assert_array_equal(out.image, s.image)
+    np.testing.assert_allclose(out.bboxes, s.bboxes)
+
+
+def test_flip_box_mirror():
+    s = _sample_with_box()
+    out = horizontal_flip(s)
+    w = s.image.shape[1]
+    assert out.bboxes[0, 0] == w - 1 - s.bboxes[0, 2]
+    assert out.bboxes[0, 2] == w - 1 - s.bboxes[0, 0]
+
+
+def test_hsv_noaug_identity():
+    s = _sample_with_box()
+    out = augment_hsv(s.image, HSVParams.no_aug(), np.random.default_rng(0))
+    np.testing.assert_array_equal(out, s.image)
+
+
+def test_hsv_changes_image():
+    s = _sample_with_box()
+    out = augment_hsv(s.image, HSVParams(), np.random.default_rng(0))
+    assert out.shape == s.image.shape
+    assert not np.array_equal(out, s.image)
+
+
+def test_mixup_concat():
+    s1, s2 = _sample_with_box(seed=1), _sample_with_box(seed=2)
+    out = mixup(s1, s2, np.random.default_rng(0))
+    assert len(out.bboxes) == 2
+    assert out.image.shape == s1.image.shape
+
+
+def test_train_augmentor_chain_runs():
+    aug = TrainSampleAugmentor(AugParams())
+    s = _sample_with_box(size=64)
+    out = aug(s)
+    assert out.image.shape[2] == 3
+    assert out.image.dtype == np.uint8
