@@ -1,0 +1,31 @@
+"""Training CLI (parity: kod/cli/hydra_train.py).
+
+Usage mirrors the reference README spellings:
+  python -m object_detection_cib_tpu.cli.train experiment=yv5s \
+      dataset_name=coco-zipf data.mixup_prob=0.3 use_loss_weights=True
+  python -m object_detection_cib_tpu.cli.train train=False test=True \
+      ckpt_path=runs/train/checkpoints/best
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from object_detection_cib_tpu.config import compose
+from object_detection_cib_tpu.train.trainer import train
+
+DEFAULT_CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = DEFAULT_CONFIG_DIR
+    if argv and argv[0].startswith("--config-dir="):
+        config_dir = Path(argv.pop(0).split("=", 1)[1])
+    cfg = compose(config_dir, "train", argv)
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,447 @@
+"""Training/eval orchestration: the `train()` task.
+
+Capability parity: kod/lightning/tasks/trainer.py:37-169 + the Lightning
+Trainer loop the reference delegates to —
+  * seeding (ref :38-39), dataset manifest loading (ref :41-45)
+  * optional per-class loss weights sum(n)/n_c (ref :54-60)
+  * model/optimizer/scheduler construction from config (ref :62-67)
+  * mAP eval callback always appended (ref :86-91)
+  * fit + optional validate-from-checkpoint (ref :120-138)
+  * debug presets: fast_dev_run / limit batches / overfit (ref configs/debug)
+
+TPU-first loop: one jitted train_step over a (data, model) mesh; the host
+thread only drives the prefetcher and logs; validation runs the jitted
+decode+NMS step and streams into the numpy mAP evaluator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_cib_tpu.config.engine import instantiate
+from object_detection_cib_tpu.core.types import (
+    AnchorBoxInfo,
+    FeatureShape,
+    LevelAnchors,
+)
+from object_detection_cib_tpu.data.cache import (
+    DatasetInfo,
+    deserialize_cached_dataset,
+)
+from object_detection_cib_tpu.data.host_augment import ValidationSampleAugmentor
+from object_detection_cib_tpu.data.pipeline import DetectionDataset, Prefetcher
+from object_detection_cib_tpu.data.reader import SampleReader
+from object_detection_cib_tpu.data.synthetic import (
+    build_fake_manifest,
+    build_synthetic_dataset,
+)
+from object_detection_cib_tpu.eval.coco_map import MeanAveragePrecisionEvaluator
+from object_detection_cib_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+from object_detection_cib_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_checkpoint,
+)
+from object_detection_cib_tpu.train.loss import LossParams
+from object_detection_cib_tpu.train.optim import (
+    OptimizerConfig,
+    SmartSGD,
+    WarmupParams,
+)
+from object_detection_cib_tpu.train.steps import (
+    create_train_state,
+    jit_eval_step,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+)
+from object_detection_cib_tpu.utils.fs import get_default_datasets_dir
+from object_detection_cib_tpu.utils.loggers import ProgressTable, build_loggers
+
+
+def _anchors_from_cfg(anchor_cfg: dict) -> LevelAnchors:
+    def info(d):
+        return AnchorBoxInfo(
+            stride=d["stride"],
+            boxes_wh=[FeatureShape(w, h) for w, h in d["boxes_wh"]],
+        )
+
+    return LevelAnchors(
+        ll=info(anchor_cfg["ll"]), ml=info(anchor_cfg["ml"]), hl=info(anchor_cfg["hl"])
+    )
+
+
+def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
+    """Resolve a dataset by name: cached manifest, synthetic, or fake."""
+    if name.startswith("fake"):
+        return build_fake_manifest(
+            name=name,
+            num_classes=int(cfg.get("fake_num_classes", 10)),
+            num_images=int(cfg.get("fake_num_images", 64 if split == "train" else 16)),
+            seed=0 if split == "train" else 1,
+        )
+    if name.startswith("synthetic"):
+        out_dir = get_default_datasets_dir()
+        marker = out_dir / f"{name}-{split}.json"
+        from object_detection_cib_tpu.data.cache import (
+            deserialize_cached_dataset as deser,
+            serialize_cached_dataset as ser,
+        )
+
+        try:
+            return deser(f"{name}-{split}", "train", out_dir)
+        except FileNotFoundError:
+            info = build_synthetic_dataset(
+                out_dir,
+                name=f"{name}-{split}",
+                num_images=int(cfg.get("synthetic_images", 200 if split == "train" else 50)),
+                seed=0 if split == "train" else 1,
+            )
+            ser(info, "train", out_dir)
+            marker.write_text(json.dumps({"built": True}))
+            return info
+    cache_dir = cfg.get("dataset_cache_dir")
+    return deserialize_cached_dataset(name, split, cache_dir)
+
+
+def _compute_loss_weights(info: DatasetInfo) -> np.ndarray:
+    """sum(n)/n_c per class (ref tasks/trainer.py:54-60)."""
+    counts = info.get_instance_count()
+    total = sum(counts.values())
+    return np.asarray(
+        [total / max(counts[c], 1) for c in info.classes], np.float32
+    )
+
+
+def _select_platform(trainer_cfg: dict):
+    platform = trainer_cfg.get("platform")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if trainer_cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
+
+class Trainer:
+    """Drives train/val epochs for a composed config."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        _select_platform(cfg["trainer"])
+        self.seed = int(cfg.get("seed", 0))
+
+        dcfg = cfg["data"]
+        mcfg = cfg["model"]
+        tcfg = cfg["trainer"]
+        name = cfg["dataset_name"]
+
+        self.train_info = _load_dataset(name, "train", dcfg) if cfg.get("train", True) else None
+        self.val_info = _load_dataset(name, "validation", dcfg)
+        classes = (self.train_info or self.val_info).classes
+        self.classes = classes
+        nc = len(classes)
+
+        # ----- data
+        img = int(dcfg["target_image_size"])
+        self.image_shape = FeatureShape(img, img)
+        reader = SampleReader(img, classes, fake_mode=bool(dcfg.get("fake_mode")))
+        use_mosaic = bool(dcfg.get("use_mosaic", True))
+        train_aug = instantiate(dcfg.get("train_data_augmentor")) if dcfg.get(
+            "train_data_augmentor"
+        ) else ValidationSampleAugmentor()
+
+        sampler = None
+        if self.train_info is not None:
+            sampler_spec = dcfg.get("sampler")
+            if sampler_spec:
+                sampler = instantiate(sampler_spec)(self.train_info)
+            self.train_ds = DetectionDataset(
+                self.train_info,
+                reader,
+                train_aug,
+                enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
+                use_mosaic=use_mosaic,
+                mosaic_target_size=img,
+                mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
+                sampler=sampler,
+                seed=self.seed,
+            )
+        self.sampler = sampler
+        self.val_ds = DetectionDataset(
+            self.val_info, reader, ValidationSampleAugmentor(),
+            enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
+        )
+
+        self.batch_size = int(dcfg["batch_size"])
+        self.max_targets = int(dcfg.get("max_targets", 120))
+        self.num_workers = max(int(dcfg.get("num_workers", 8)), 1)
+
+        # ----- mesh
+        self.mesh = make_mesh(num_data=tcfg.get("num_devices"))
+
+        # ----- model/optimizer
+        ncfg = mcfg["net"]
+        from object_detection_cib_tpu.models.yolov5 import Yolov5Network
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None, None: None}[
+            ncfg.get("dtype")
+        ]
+        self.net = Yolov5Network(
+            num_classes=nc,
+            num_anchors_per_cell=int(ncfg.get("num_anchors_per_cell", 3)),
+            widen_factor=float(ncfg.get("widen_factor", 1.0)),
+            deepen_factor=float(ncfg.get("deepen_factor", 1.0)),
+            dtype=dtype,
+        )
+        self.anchors = _anchors_from_cfg(mcfg["anchor_info"])
+
+        lcfg = mcfg["loss"]
+        self.loss_params = LossParams(
+            lambda_classification=lcfg["lambda_classification"],
+            lambda_localization=lcfg["lambda_localization"],
+            lambda_objectness=lcfg["lambda_objectness"],
+            lambda_ll_objectness=lcfg["lambda_ll_objectness"],
+            lambda_ml_objectness=lcfg["lambda_ml_objectness"],
+            lambda_hl_objectness=lcfg["lambda_hl_objectness"],
+            iou_type=lcfg.get("iou_type", "ciou"),
+            eps=float(lcfg.get("eps", 1e-7)),
+        )
+        self.assign_threshold = float(lcfg.get("assigner_threshold", 4.0))
+
+        class_weights = None
+        if cfg.get("use_loss_weights") and self.train_info is not None:
+            class_weights = jnp.asarray(_compute_loss_weights(self.train_info))
+        self.class_weights = class_weights
+
+        self.max_epochs = int(tcfg["max_epochs"])
+        steps_per_epoch = (
+            max(len(self.train_info.samples) // self.batch_size, 1)
+            if self.train_info
+            else 1
+        )
+        self.steps_per_epoch = steps_per_epoch
+
+        ocfg = mcfg["optimizer"]
+        scfg = mcfg["scheduler"]
+        wcfg = mcfg.get("warmup")
+        self.optimizer = SmartSGD(
+            OptimizerConfig(
+                lr0=float(ocfg["lr0"]),
+                momentum=float(ocfg["momentum"]),
+                nesterov=bool(ocfg.get("nesterov", True)),
+                weight_decay=float(ocfg["weight_decay"]),
+                schedule=scfg.get("name", "linear"),
+                lrf=float(scfg.get("lrf", 0.01)),
+                max_epochs=self.max_epochs,
+                warmup=WarmupParams(
+                    warmup_epochs=float(wcfg["warmup_epochs"]),
+                    warmup_bias_lr=float(wcfg["warmup_bias_lr"]),
+                    warmup_momentum=float(wcfg["warmup_momentum"]),
+                )
+                if wcfg
+                else None,
+            ),
+            steps_per_epoch=steps_per_epoch,
+        )
+
+        # ----- compiled steps
+        self.state = create_train_state(
+            self.net, jax.random.PRNGKey(self.seed), self.image_shape, self.optimizer
+        )
+        self.train_step = jit_train_step(
+            make_train_step(
+                self.net,
+                self.anchors,
+                self.image_shape,
+                self.optimizer,
+                self.loss_params,
+                self.class_weights,
+                self.assign_threshold,
+            ),
+            self.mesh,
+        )
+        self.eval_step = jit_eval_step(
+            make_eval_step(
+                self.net,
+                self.anchors,
+                conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
+                iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
+            ),
+            self.mesh,
+        )
+
+        # ----- logging / checkpoints
+        out_dir = Path(cfg["paths"]["output_dir"])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        self.out_dir = out_dir
+        self.loggers = build_loggers(cfg.get("logger"))
+        self.progress = ProgressTable(
+            interval=int(cfg.get("progress_interval", 20)),
+            enabled=True,
+        )
+        cb = (cfg.get("callbacks") or {}).get("model_checkpoint") or {}
+        self.ckpt = CheckpointManager(
+            Path(cb.get("dirpath", out_dir / "checkpoints")),
+            monitor=cb.get("monitor", "map"),
+            mode=cb.get("mode", "max"),
+        )
+        self.sampler_debug = bool((cfg.get("callbacks") or {}).get("sampler_debug"))
+
+        if cfg.get("ckpt_path"):
+            self.state = restore_checkpoint(cfg["ckpt_path"], self.state)
+
+    # ------------------------------------------------------------------
+    def _train_prefetcher(self) -> Prefetcher:
+        return Prefetcher(
+            self.train_ds,
+            self.batch_size,
+            self.max_targets,
+            sampler=self.sampler
+            or __import__(
+                "object_detection_cib_tpu.data.samplers", fromlist=["ShuffleSampler"]
+            ).ShuffleSampler(self.train_info, seed=self.seed),
+            num_threads=self.num_workers,
+            device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
+        )
+
+    def _val_prefetcher(self) -> Prefetcher:
+        return Prefetcher(
+            self.val_ds,
+            self.batch_size,
+            self.max_targets,
+            num_threads=self.num_workers,
+            drop_last=False,
+        )
+
+    def _log(self, metrics: Dict[str, float], step: int):
+        for lg in self.loggers:
+            lg.log(metrics, step)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Dict[str, float]:
+        evaluator = MeanAveragePrecisionEvaluator(
+            len(self.classes), class_names=self.classes
+        )
+        limit = self.cfg["trainer"].get("limit_val_batches")
+        fdr = self.cfg["trainer"].get("fast_dev_run")
+        pf = self._val_prefetcher()
+        n_batches = len(pf)
+        if fdr:
+            n_batches = 1
+        elif limit:
+            n_batches = max(int(n_batches * float(limit)), 1)
+        for bi, batch in enumerate(pf):
+            if bi >= n_batches:
+                break
+            B = batch.images.shape[0]
+            pad = (-B) % self.mesh.devices.size
+            images = batch.images
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+            images = shard_batch_pytree(images, self.mesh)
+            res = self.eval_step(self.state.params, self.state.batch_stats, images)
+            res = jax.tree.map(lambda x: np.asarray(x)[:B], res)
+            evaluator.add_batch(res, batch.boxes, batch.labels, batch.mask)
+        metrics = evaluator.results_dict()
+        return metrics
+
+    def fit(self) -> Dict[str, float]:
+        tcfg = self.cfg["trainer"]
+        fdr = tcfg.get("fast_dev_run")
+        overfit = tcfg.get("overfit_batches")
+        limit = tcfg.get("limit_train_batches")
+        max_epochs = 1 if fdr else self.max_epochs
+        val_every = int(tcfg.get("check_val_every_n_epoch", 1))
+        log_every = int(tcfg.get("log_every_n_steps", 20))
+
+        global_step = int(self.state.step)
+        last_val: Dict[str, float] = {}
+        overfit_cache = None
+
+        for epoch in range(max_epochs):
+            epoch_t0 = time.time()
+            n_images = 0
+
+            if overfit:
+                if overfit_cache is None:
+                    pf = self._train_prefetcher()
+                    overfit_cache = []
+                    for bi, b in enumerate(pf):
+                        overfit_cache.append(b)
+                        if len(overfit_cache) >= int(overfit):
+                            break
+                batches = overfit_cache
+            else:
+                batches = self._train_prefetcher()
+
+            n_batches = self.steps_per_epoch
+            if fdr:
+                n_batches = 1
+            elif limit:
+                n_batches = max(int(n_batches * float(limit)), 1)
+
+            for bi, batch in enumerate(batches):
+                if bi >= n_batches:
+                    break
+                self.state, m = self.train_step(self.state, batch)
+                global_step += 1
+                n_images += batch.images.shape[0]
+                if global_step % log_every == 0:
+                    metrics = {
+                        "box": float(m.box),
+                        "obj": float(m.obj),
+                        "cls": float(m.cls),
+                        "total": float(m.total),
+                        "lr": float(m.lr),
+                    }
+                    self._log(metrics, global_step)
+                    self.progress.update(epoch, global_step, metrics)
+
+            dt = time.time() - epoch_t0
+            ips = n_images / max(dt, 1e-9)
+
+            if (epoch + 1) % val_every == 0 or fdr:
+                last_val = self.validate()
+                last_val["images_per_sec"] = ips
+                self._log(last_val, global_step)
+                print(
+                    f"[epoch {epoch}] map={last_val.get('map', 0):.4f} "
+                    f"map50={last_val.get('map50', 0):.4f} ips={ips:.1f}",
+                    flush=True,
+                )
+                self.ckpt.maybe_save_best(self.state, last_val)
+            self.ckpt.save_last(self.state)
+
+            if self.sampler_debug and self.sampler is not None:
+                self._dump_sampler_stats(epoch)
+
+        return last_val
+
+    def _dump_sampler_stats(self, epoch: int):
+        """Instances-per-class seen this epoch (ref callbacks/sampler_debug)."""
+        idx = np.asarray(self.sampler.epoch_indices())
+        counts = {c: 0 for c in self.classes}
+        for i in idx:
+            for t in self.train_info.samples[int(i)].targets:
+                counts[t.class_name] += 1
+        out = self.out_dir / f"sampler_stats_epoch{epoch}.json"
+        out.write_text(json.dumps(counts, indent=2))
+
+
+def train(cfg: dict) -> Dict[str, float]:
+    """Entry task (parity: kod/lightning/tasks/trainer.py train())."""
+    trainer = Trainer(cfg)
+    metrics: Dict[str, float] = {}
+    if cfg.get("train", True):
+        metrics = trainer.fit()
+    if cfg.get("test", False):
+        metrics = trainer.validate()
+        print(json.dumps(metrics, indent=2))
+    return metrics

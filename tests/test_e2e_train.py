@@ -1,0 +1,87 @@
+"""End-to-end training/eval through the config + CLI surface.
+
+The fake-mode fast-dev-run is the analog of the reference's
+`debug=fdr data.sample_reader.fake_mode=True` workflow (SURVEY.md §4) —
+the whole loop runs without an image corpus.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from object_detection_cib_tpu.config import compose
+from object_detection_cib_tpu.train.trainer import Trainer, train
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def _cfg(tmp_path, *extra):
+    return compose(
+        CONFIG_DIR,
+        overrides=[
+            "debug=fdr",
+            "experiment=yv5n",
+            "dataset_name=fake",
+            "data.fake_mode=True",
+            "data.batch_size=4",
+            "data.target_image_size=64",
+            "data.max_targets=40",
+            "data.num_workers=2",
+            "data.enable_ram_cache=False",
+            f"paths.output_dir={tmp_path}/run",
+            f"callbacks.model_checkpoint.dirpath={tmp_path}/run/checkpoints",
+            "logger=csv",
+            f"logger.csv.save_dir={tmp_path}/run/csv",
+            "trainer.log_every_n_steps=1",
+            *extra,
+        ],
+    )
+
+
+def test_fast_dev_run(tmp_path):
+    cfg = _cfg(tmp_path)
+    metrics = train(cfg)
+    assert "map" in metrics
+    assert 0.0 <= metrics["map"] <= 1.0
+    # per-class AP50 keys present (parity with reference logging)
+    assert any(k.startswith("map50_class_") for k in metrics)
+    # checkpoints written
+    assert (tmp_path / "run/checkpoints/last").exists()
+
+
+def test_eval_from_checkpoint(tmp_path):
+    cfg = _cfg(tmp_path)
+    train(cfg)
+    eval_cfg = _cfg(
+        tmp_path,
+        "train=False",
+        "test=True",
+        f"ckpt_path={tmp_path}/run/checkpoints/last",
+    )
+    metrics = train(eval_cfg)
+    assert "map" in metrics
+
+
+def test_loss_weights_and_sampler(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        "use_loss_weights=True",
+        "experiment=imbalance/class_aware/default",
+        "model.net.widen_factor=0.25",  # keep it tiny
+    )
+    metrics = train(cfg)
+    assert "map" in metrics
+
+
+def test_mixup_path(tmp_path):
+    cfg = _cfg(tmp_path, "data.mixup_prob=1.0")
+    metrics = train(cfg)
+    assert "map" in metrics
+
+
+def test_trainer_exposes_components(tmp_path):
+    t = Trainer(_cfg(tmp_path))
+    assert t.net.num_classes == len(t.classes)
+    assert t.optimizer.nw >= 100
+    assert t.mesh.devices.size >= 1
