@@ -59,14 +59,22 @@ def mosaic4(
     samples: Sequence[AugmentedSample],
     target_size: int,
     rng: np.random.Generator,
+    center: Optional[Tuple[int, int]] = None,
 ) -> Tuple[AugmentedSample, Tuple[int, int]]:
-    """4-image mosaic on a 2Sx2S canvas (ref mosaic.py:51-161)."""
+    """4-image mosaic on a 2Sx2S canvas (ref mosaic.py:51-161).
+
+    `center` (xc, yc) overrides the random draw — used by parity tests
+    against the device implementation (ops/augment.py).
+    """
     assert len(samples) == 4
     s = target_size
     border = (-s // 2, -s // 2)
-    # center in [s/2, 3s/2] (ref mosaic.py:58-62)
-    yc = int(rng.uniform(-border[0], 2 * s + border[0]))
-    xc = int(rng.uniform(-border[1], 2 * s + border[1]))
+    if center is not None:
+        xc, yc = center
+    else:
+        # center in [s/2, 3s/2] (ref mosaic.py:58-62)
+        yc = int(rng.uniform(-border[0], 2 * s + border[0]))
+        xc = int(rng.uniform(-border[1], 2 * s + border[1]))
 
     canvas = np.full((2 * s, 2 * s, samples[0].image.shape[2]), FILL, np.uint8)
     all_boxes, all_labels = [], []

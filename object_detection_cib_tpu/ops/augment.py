@@ -1,0 +1,420 @@
+"""On-device (jit/XLA) batched augmentation stage — the TPU hot path.
+
+Re-designs the reference's cv2/albumentations host pipeline
+(kod/data/mosaic.py, kod/data/augmentations/default.py — see
+data/host_augment.py for the numpy parity implementations) as fixed-shape
+vectorized device ops, so per-sample Python/cv2 work never gates step time:
+
+  * mosaic4_batch   — 4-image mosaic as one gather/select over a 2Sx2S
+                      canvas (placement arithmetic identical to ref
+                      mosaic.py:71-133; candidate filter as masks)
+  * affine_batch    — warpAffine/warpPerspective via inverse-map bilinear
+                      gather with border fill 114 (ref default.py:279-351;
+                      matrix composition T@S@R@P@C identical)
+  * hsv_batch       — HSV jitter with the same per-channel gain semantics as
+                      the reference's uint8 LUTs (ref default.py:354-383)
+  * flip_batch      — horizontal flip + box mirror at width-1
+  * mixup_batch     — beta(32,32) blend + target-list concat
+
+Boxes ride along as fixed-capacity (T, 4) arrays with validity masks; the
+candidate filters (wh>2, area ratio>0.1, AR<20) become mask updates instead
+of ragged filtering. Randomness comes from jax.random keys (threaded, not
+global — SURVEY.md §5.2).
+
+All functions are batched (leading B) and jit/vmap-safe; the whole stage can
+fuse into the train step so augmentation overlaps with compute on device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FILL = 114.0
+
+
+class DeviceSample(NamedTuple):
+    """Fixed-shape device-side sample batch.
+
+    images: (B, S, S, 3) float32 — content in the top-left (h, w) window,
+            rest = FILL padding
+    sizes:  (B, 2) int32 (h, w) actual content sizes
+    boxes:  (B, T, 4) xyxy float32
+    labels: (B, T) int32
+    mask:   (B, T) bool
+    """
+
+    images: jnp.ndarray
+    sizes: jnp.ndarray
+    boxes: jnp.ndarray
+    labels: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def _box_candidates_mask(orig, proc, mask, wh_thr=2.0, ar_thr=20.0, area_thr=0.1,
+                         eps=1e-16):
+    """Masked version of the reference candidate filter (default.py:193-215)."""
+    w1 = orig[..., 2] - orig[..., 0]
+    h1 = orig[..., 3] - orig[..., 1]
+    w2 = proc[..., 2] - proc[..., 0]
+    h2 = proc[..., 3] - proc[..., 1]
+    ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    ok = (
+        (w2 > wh_thr)
+        & (h2 > wh_thr)
+        & (w2 * h2 / (w1 * h1 + eps) > area_thr)
+        & (ar < ar_thr)
+    )
+    return mask & ok
+
+
+# ---------------------------------------------------------------------------
+# mosaic
+# ---------------------------------------------------------------------------
+
+def _mosaic_one(imgs, sizes, boxes, labels, mask, center, target_size: int):
+    """imgs (4,S,S,3), sizes (4,2), boxes (4,T,4) -> canvas (2S,2S,3) + (4T,) targets."""
+    S = target_size
+    S2 = 2 * S
+    xc, yc = center[0], center[1]
+    h = sizes[:, 0]
+    w = sizes[:, 1]
+
+    # per-quadrant canvas placement (ref mosaic.py:71-133)
+    x1a = jnp.stack([jnp.maximum(xc - w[0], 0), xc, jnp.maximum(xc - w[2], 0), xc])
+    y1a = jnp.stack([jnp.maximum(yc - h[0], 0), jnp.maximum(yc - h[1], 0), yc, yc])
+    x2a = jnp.stack([xc, jnp.minimum(xc + w[1], S2), xc, jnp.minimum(xc + w[3], S2)])
+    y2a = jnp.stack([yc, yc, jnp.minimum(S2, yc + h[2]), jnp.minimum(S2, yc + h[3])])
+    # source offsets
+    x1b = jnp.stack([w[0] - (x2a[0] - x1a[0]), jnp.zeros_like(xc),
+                     w[2] - (x2a[2] - x1a[2]), jnp.zeros_like(xc)])
+    y1b = jnp.stack([h[0] - (y2a[0] - y1a[0]), h[1] - (y2a[1] - y1a[1]),
+                     jnp.zeros_like(yc), jnp.zeros_like(yc)])
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)
+
+    canvas = jnp.full((S2, S2, 3), FILL, jnp.float32)
+    for i in range(4):
+        inside = (
+            (yy >= y1a[i]) & (yy < y2a[i]) & (xx >= x1a[i]) & (xx < x2a[i])
+        )
+        sy = jnp.clip(yy - y1a[i] + y1b[i], 0, imgs.shape[1] - 1)
+        sx = jnp.clip(xx - x1a[i] + x1b[i], 0, imgs.shape[2] - 1)
+        src = imgs[i][sy, sx]  # (S2, S2, 3) gather
+        canvas = jnp.where(inside[..., None], src, canvas)
+
+    # boxes: translate by (padw, padh) = (x1a - x1b, y1a - y1b)
+    padw = (x1a - x1b).astype(jnp.float32)  # (4,)
+    padh = (y1a - y1b).astype(jnp.float32)
+    shift = jnp.stack([padw, padh, padw, padh], axis=-1)  # (4, 4)
+    b = boxes + shift[:, None, :]  # (4, T, 4)
+    T = boxes.shape[1]
+    b_flat = b.reshape(4 * T, 4)
+    m_flat = mask.reshape(4 * T)
+    l_flat = labels.reshape(4 * T)
+
+    trunc = jnp.clip(b_flat, 0, S2)
+    m_flat = _box_candidates_mask(b_flat, trunc, m_flat, eps=1e-7)
+    b_flat = jnp.clip(b_flat, 0, S2 - 1)
+    return canvas, b_flat, l_flat, m_flat
+
+
+def mosaic4_batch(
+    sample: DeviceSample, key: jax.Array, target_size: int
+) -> DeviceSample:
+    """Group the batch into 4s and mosaic each group.
+
+    Input B must be divisible by 4; output batch is B//4 with target
+    capacity 4T. Centers drawn uniform in [S/2, 3S/2] (ref mosaic.py:58-62).
+    """
+    B, S, _, _ = sample.images.shape
+    assert B % 4 == 0
+    G = B // 4
+    centers = jax.random.randint(
+        key, (G, 2), target_size // 2, 2 * target_size - target_size // 2
+    )
+    imgs = sample.images.reshape(G, 4, S, S, 3)
+    sizes = sample.sizes.reshape(G, 4, 2)
+    boxes = sample.boxes.reshape(G, 4, -1, 4)
+    labels = sample.labels.reshape(G, 4, -1)
+    mask = sample.mask.reshape(G, 4, -1)
+
+    canvas, b, l, m = jax.vmap(_mosaic_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        imgs, sizes, boxes, labels, mask, centers, target_size
+    )
+    S2 = 2 * target_size
+    out_sizes = jnp.full((G, 2), S2, jnp.int32)
+    return DeviceSample(canvas, out_sizes, b, l, m)
+
+
+# ---------------------------------------------------------------------------
+# affine / perspective
+# ---------------------------------------------------------------------------
+
+class AffineBatchValues(NamedTuple):
+    """Per-image affine randoms, (B,) each (semantics of ref AffineRandValues)."""
+
+    perspective_x: jnp.ndarray
+    perspective_y: jnp.ndarray
+    degrees: jnp.ndarray
+    scale: jnp.ndarray
+    shear_x: jnp.ndarray
+    shear_y: jnp.ndarray
+    translate_x: jnp.ndarray
+    translate_y: jnp.ndarray
+
+
+def sample_affine_values_batch(
+    key: jax.Array,
+    batch: int,
+    degrees: float = 0.0,
+    translate: float = 0.1,
+    scale: float = 0.5,
+    shear: float = 0.0,
+    perspective: float = 0.0,
+) -> AffineBatchValues:
+    ks = jax.random.split(key, 8)
+    u = lambda k, lo, hi: jax.random.uniform(k, (batch,), minval=lo, maxval=hi)
+    return AffineBatchValues(
+        perspective_x=u(ks[0], -perspective, perspective),
+        perspective_y=u(ks[1], -perspective, perspective),
+        degrees=u(ks[2], -degrees, degrees),
+        scale=u(ks[3], 1 - scale, 1 + scale),
+        shear_x=u(ks[4], -shear, shear),
+        shear_y=u(ks[5], -shear, shear),
+        translate_x=u(ks[6], 0.5 - translate, 0.5 + translate),
+        translate_y=u(ks[7], 0.5 - translate, 0.5 + translate),
+    )
+
+
+def _affine_matrices(v: AffineBatchValues, in_w, in_h, out_w, out_h):
+    """Batched M = T@S@R@P@C (ref default.py:218-247). Returns (B, 3, 3)."""
+    B = v.degrees.shape[0]
+    zeros = jnp.zeros((B,))
+    ones = jnp.ones((B,))
+
+    def mat(rows):
+        return jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )  # (B, 3, 3)
+
+    C = mat([[ones, zeros, -ones * (in_w / 2)],
+             [zeros, ones, -ones * (in_h / 2)],
+             [zeros, zeros, ones]])
+    P = mat([[ones, zeros, zeros],
+             [zeros, ones, zeros],
+             [v.perspective_x, v.perspective_y, ones]])
+    # cv2.getRotationMatrix2D(angle, (0,0), scale) = [[a, b], [-b, a]] with
+    # a = scale*cos(angle), b = scale*sin(angle)
+    rad = v.degrees * (math.pi / 180.0)
+    cos, sin = jnp.cos(rad) * v.scale, jnp.sin(rad) * v.scale
+    R = mat([[cos, sin, zeros],
+             [-sin, cos, zeros],
+             [zeros, zeros, ones]])
+    sx = jnp.tan(v.shear_x * (math.pi / 180.0))
+    sy = jnp.tan(v.shear_y * (math.pi / 180.0))
+    S = mat([[ones, sx, zeros],
+             [sy, ones, zeros],
+             [zeros, zeros, ones]])
+    T = mat([[ones, zeros, v.translate_x * out_w],
+             [zeros, ones, v.translate_y * out_h],
+             [zeros, zeros, ones]])
+    return T @ S @ R @ P @ C
+
+
+def _bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
+    """img (H,W,3); xs/ys (h,w) float sample coords; border fill FILL."""
+    H, W = img.shape[:2]
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def at(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inb[..., None], v, FILL)
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x0i + 1)
+    v10 = at(y0i + 1, x0i)
+    v11 = at(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def affine_batch(
+    sample: DeviceSample,
+    values: AffineBatchValues,
+    out_size: int,
+    border: Tuple[int, int] = (0, 0),
+) -> DeviceSample:
+    """Warp images+boxes; candidate-filter boxes into the mask.
+
+    For the mosaic path the input canvas is 2Sx2S with border (-S/2,-S/2),
+    giving an SxS output (ref detection.py:130 usage).
+    """
+    B, H, W, _ = sample.images.shape
+    in_w = W + border[1] * 2  # note: equals out size when border negative
+    in_h = H + border[0] * 2
+    assert in_w == out_size and in_h == out_size, (in_w, in_h, out_size)
+
+    M = _affine_matrices(values, W, H, in_w, in_h)  # (B, 3, 3)
+    Minv = jnp.linalg.inv(M)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
+    ones = jnp.ones_like(xx)
+    dst = jnp.stack([xx, yy, ones], axis=-1)  # (h, w, 3)
+
+    def warp_one(img, minv):
+        src = dst @ minv.T  # (h, w, 3)
+        sx = src[..., 0] / src[..., 2]
+        sy = src[..., 1] / src[..., 2]
+        return _bilinear_sample(img, sx, sy)
+
+    out_imgs = jax.vmap(warp_one)(sample.images, Minv)
+
+    # boxes: 4-corner transform (ref default.py:250-276)
+    b = sample.boxes  # (B, T, 4)
+    corners = jnp.stack(
+        [
+            b[..., 0], b[..., 1],
+            b[..., 2], b[..., 3],
+            b[..., 0], b[..., 3],
+            b[..., 2], b[..., 1],
+        ],
+        axis=-1,
+    ).reshape(B, -1, 4, 2)  # (B, T, 4corners, 2)
+    ones_c = jnp.ones(corners.shape[:-1] + (1,))
+    hom = jnp.concatenate([corners, ones_c], axis=-1)  # (B, T, 4, 3)
+    proj = jnp.einsum("btcj,bij->btci", hom, M)
+    persp = (values.perspective_x != 0.0) | (values.perspective_y != 0.0)
+    xy = jnp.where(
+        persp[:, None, None, None],
+        proj[..., :2] / proj[..., 2:3],
+        proj[..., :2],
+    )
+    x_min = xy[..., 0].min(axis=-1)
+    x_max = xy[..., 0].max(axis=-1)
+    y_min = xy[..., 1].min(axis=-1)
+    y_max = xy[..., 1].max(axis=-1)
+    proc = jnp.stack(
+        [
+            jnp.clip(x_min, 0, out_size - 1),
+            jnp.clip(y_min, 0, out_size - 1),
+            jnp.clip(x_max, 0, out_size - 1),
+            jnp.clip(y_max, 0, out_size - 1),
+        ],
+        axis=-1,
+    )
+    new_mask = _box_candidates_mask(
+        sample.boxes * values.scale[:, None, None], proc, sample.mask
+    )
+    out_sizes = jnp.full((B, 2), out_size, jnp.int32)
+    return DeviceSample(out_imgs, out_sizes, proc, sample.labels, new_mask)
+
+
+# ---------------------------------------------------------------------------
+# HSV / flip / mixup
+# ---------------------------------------------------------------------------
+
+def hsv_batch(
+    images: jnp.ndarray,
+    key: jax.Array,
+    hue: float = 0.015,
+    saturation: float = 0.7,
+    value: float = 0.4,
+) -> jnp.ndarray:
+    """Random HSV gains (ref default.py:354-383 semantics, float math).
+
+    The reference applies uint8 LUTs hue' = (hue*r0) % 180,
+    sat' = clip(sat*r1), val' = clip(val*r2) with r = U(-1,1)*params + 1.
+    Here the same gains are applied in float HSV space on device.
+    """
+    B = images.shape[0]
+    r = (
+        jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
+        * jnp.asarray([hue, saturation, value])
+        + 1.0
+    )
+    img = images / 255.0
+    mx = img.max(axis=-1)
+    mn = img.min(axis=-1)
+    diff = mx - mn
+    # hue in [0, 6)
+    rch, gch, bch = img[..., 0], img[..., 1], img[..., 2]
+    safe = jnp.where(diff > 0, diff, 1.0)
+    h = jnp.where(
+        mx == rch, (gch - bch) / safe % 6.0,
+        jnp.where(mx == gch, (bch - rch) / safe + 2.0, (rch - gch) / safe + 4.0),
+    )
+    h = jnp.where(diff > 0, h, 0.0) * 60.0  # degrees
+    s = jnp.where(mx > 0, diff / jnp.where(mx > 0, mx, 1.0), 0.0)
+    v = mx
+
+    # apply gains: cv2 uses h in [0,180) with wraparound, s/v clipped
+    h = (h / 2.0 * r[:, None, None, 0]) % 180.0 * 2.0
+    s = jnp.clip(s * r[:, None, None, 1], 0.0, 1.0)
+    v = jnp.clip(v * r[:, None, None, 2], 0.0, 1.0)
+
+    # HSV -> RGB
+    hh = h / 60.0
+    i = jnp.floor(hh)
+    f = hh - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    rgb = jnp.stack(
+        [
+            jnp.choose(i, [v, q, p, p, t, v], mode="clip"),
+            jnp.choose(i, [t, v, v, q, p, p], mode="clip"),
+            jnp.choose(i, [p, p, t, v, v, q], mode="clip"),
+        ],
+        axis=-1,
+    )
+    return jnp.clip(rgb * 255.0, 0.0, 255.0)
+
+
+def flip_batch(sample: DeviceSample, key: jax.Array, prob: float = 0.5) -> DeviceSample:
+    """Per-image random horizontal flip (ref default.py:386-397)."""
+    B, _, W, _ = sample.images.shape
+    do = jax.random.uniform(key, (B,)) < prob
+    flipped = jnp.flip(sample.images, axis=2)
+    images = jnp.where(do[:, None, None, None], flipped, sample.images)
+    wm1 = (W - 1.0)
+    fb = jnp.stack(
+        [
+            wm1 - sample.boxes[..., 2],
+            sample.boxes[..., 1],
+            wm1 - sample.boxes[..., 0],
+            sample.boxes[..., 3],
+        ],
+        axis=-1,
+    )
+    boxes = jnp.where(do[:, None, None], fb, sample.boxes)
+    return sample._replace(images=images, boxes=boxes)
+
+
+def mixup_batch(
+    s1: DeviceSample, s2: DeviceSample, key: jax.Array
+) -> DeviceSample:
+    """beta(32,32) blend + concat targets (ref default.py:400-408)."""
+    B = s1.images.shape[0]
+    r = jax.random.beta(key, 32.0, 32.0, (B, 1, 1, 1))
+    images = s1.images * r + s2.images * (1.0 - r)
+    return DeviceSample(
+        images=images,
+        sizes=s1.sizes,
+        boxes=jnp.concatenate([s1.boxes, s2.boxes], axis=1),
+        labels=jnp.concatenate([s1.labels, s2.labels], axis=1),
+        mask=jnp.concatenate([s1.mask, s2.mask], axis=1),
+    )

@@ -62,8 +62,11 @@ class StepMetrics(NamedTuple):
 
 
 def create_train_state(net, rng, image_shape: FeatureShape, optimizer: SmartSGD):
-    variables = net.init(
-        rng, jnp.zeros((1, image_shape.height, image_shape.width, 3)), train=False
+    # jit the init: eager init dispatches every conv separately (very slow
+    # through a remote-device tunnel); jitted it is one compiled program
+    init_fn = jax.jit(lambda r, x: net.init(r, x, train=False))
+    variables = init_fn(
+        rng, jnp.zeros((1, image_shape.height, image_shape.width, 3))
     )
     params = variables["params"]
     return TrainState(

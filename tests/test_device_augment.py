@@ -1,0 +1,197 @@
+"""Parity tests: on-device augmentation (ops/augment.py) vs the host numpy
+reference implementations (data/host_augment.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_detection_cib_tpu.data.host_augment import (
+    AffineValues,
+    mosaic4,
+    random_perspective,
+)
+from object_detection_cib_tpu.data.reader import AugmentedSample
+from object_detection_cib_tpu.ops.augment import (
+    AffineBatchValues,
+    DeviceSample,
+    affine_batch,
+    flip_batch,
+    hsv_batch,
+    mixup_batch,
+    mosaic4_batch,
+    sample_affine_values_batch,
+)
+
+S = 64  # target size
+
+
+def _host_samples(n=4, seed=0, size=None):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        h = size or int(rng.integers(S // 2, S + 1))
+        w = size or int(rng.integers(S // 2, S + 1))
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        boxes = np.asarray(
+            [[w * 0.2, h * 0.2, w * 0.8, h * 0.8]], np.float32
+        )
+        out.append(AugmentedSample(img, boxes, np.asarray([i % 3], np.int64)))
+    return out
+
+
+def _to_device_sample(samples, T=8):
+    n = len(samples)
+    images = np.full((n, S, S, 3), 114.0, np.float32)
+    sizes = np.zeros((n, 2), np.int32)
+    boxes = np.zeros((n, T, 4), np.float32)
+    labels = np.zeros((n, T), np.int32)
+    mask = np.zeros((n, T), bool)
+    for i, s in enumerate(samples):
+        h, w = s.image.shape[:2]
+        images[i, :h, :w] = s.image
+        sizes[i] = (h, w)
+        k = len(s.bboxes)
+        boxes[i, :k] = s.bboxes
+        labels[i, :k] = s.labels
+        mask[i, :k] = True
+    return DeviceSample(
+        jnp.asarray(images), jnp.asarray(sizes), jnp.asarray(boxes),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+
+def test_mosaic_parity_with_host():
+    samples = _host_samples(4, seed=3)
+    center = (70, 58)
+    host_out, border = mosaic4(
+        samples, S, np.random.default_rng(0), center=center
+    )
+
+    dev = _to_device_sample(samples)
+    out = jax.jit(
+        lambda s, k: mosaic4_batch(s, k, S)
+    )(dev, jax.random.PRNGKey(0))
+    # override random centers: call inner directly for determinism
+    from object_detection_cib_tpu.ops.augment import _mosaic_one
+
+    canvas, b, l, m = _mosaic_one(
+        dev.images, dev.sizes, dev.boxes, dev.labels, dev.mask,
+        jnp.asarray(center), S,
+    )
+    np.testing.assert_allclose(
+        np.asarray(canvas), host_out.image.astype(np.float32), atol=1e-4
+    )
+    got_boxes = np.asarray(b)[np.asarray(m)]
+    # same surviving boxes (order may differ) — sort rows
+    def key(rows):
+        return np.sort(rows.view([("", rows.dtype)] * 4), axis=0).view(rows.dtype)
+
+    assert got_boxes.shape == host_out.bboxes.shape
+    np.testing.assert_allclose(
+        np.sort(got_boxes, axis=0), np.sort(host_out.bboxes, axis=0), atol=1e-3
+    )
+
+
+def test_affine_identity():
+    samples = _host_samples(2, size=S, seed=1)
+    dev = _to_device_sample(samples)
+    v = AffineBatchValues(
+        *[jnp.asarray(x, jnp.float32) for x in
+          [[0, 0], [0, 0], [0, 0], [1, 1], [0, 0], [0, 0], [0.5, 0.5], [0.5, 0.5]]]
+    )
+    out = affine_batch(dev, v, S)
+    np.testing.assert_allclose(
+        np.asarray(out.images[0]), np.asarray(dev.images[0]), atol=1e-2
+    )
+    np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(dev.boxes), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "hv",
+    [
+        AffineValues(0, 0, 0, 1.0, 0, 0, 0.6, 0.45),       # translate
+        AffineValues(0, 0, 10.0, 0.8, 0, 0, 0.5, 0.5),     # rotate+scale
+        AffineValues(0, 0, 0, 1.2, 5.0, -3.0, 0.55, 0.5),  # shear+scale
+    ],
+)
+def test_affine_parity_with_host(hv):
+    samples = _host_samples(1, size=S, seed=2)
+    host_out = random_perspective(samples[0], hv)
+
+    dev = _to_device_sample(samples)
+    v = AffineBatchValues(
+        perspective_x=jnp.asarray([hv.perspective_x], jnp.float32),
+        perspective_y=jnp.asarray([hv.perspective_y], jnp.float32),
+        degrees=jnp.asarray([hv.degrees], jnp.float32),
+        scale=jnp.asarray([hv.scale], jnp.float32),
+        shear_x=jnp.asarray([hv.shear_x], jnp.float32),
+        shear_y=jnp.asarray([hv.shear_y], jnp.float32),
+        translate_x=jnp.asarray([hv.translate_x], jnp.float32),
+        translate_y=jnp.asarray([hv.translate_y], jnp.float32),
+    )
+    out = affine_batch(dev, v, S)
+    got = np.asarray(out.images[0])
+    want = host_out.image.astype(np.float32)
+    # bilinear resampling differences: compare loosely but meaningfully
+    close = np.isclose(got, want, atol=16.0).mean()
+    assert close > 0.93, f"only {close:.2%} of pixels match host warp"
+    if len(host_out.bboxes):
+        got_b = np.asarray(out.boxes[0])[np.asarray(out.mask[0])]
+        np.testing.assert_allclose(got_b, host_out.bboxes, atol=0.5)
+
+
+def test_flip_batch_parity():
+    samples = _host_samples(2, size=S, seed=4)
+    dev = _to_device_sample(samples)
+    out = flip_batch(dev, jax.random.PRNGKey(0), prob=1.0)
+    np.testing.assert_allclose(
+        np.asarray(out.images[0]), np.asarray(dev.images[0])[:, ::-1], atol=1e-5
+    )
+    b = np.asarray(out.boxes[0, 0])
+    ob = np.asarray(dev.boxes[0, 0])
+    assert b[0] == pytest.approx(S - 1 - ob[2])
+    assert b[2] == pytest.approx(S - 1 - ob[0])
+
+
+def test_hsv_no_gain_identity():
+    samples = _host_samples(1, size=S, seed=5)
+    dev = _to_device_sample(samples)
+    out = hsv_batch(dev.images, jax.random.PRNGKey(0), hue=0.0, saturation=0.0,
+                    value=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dev.images), atol=1.0)
+
+
+def test_hsv_changes_pixels():
+    samples = _host_samples(1, size=S, seed=6)
+    dev = _to_device_sample(samples)
+    out = hsv_batch(dev.images, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(out), np.asarray(dev.images), atol=1.0)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 255
+
+
+def test_mixup_batch_concat():
+    s1 = _to_device_sample(_host_samples(2, size=S, seed=7))
+    s2 = _to_device_sample(_host_samples(2, size=S, seed=8))
+    out = mixup_batch(s1, s2, jax.random.PRNGKey(0))
+    assert out.boxes.shape[1] == s1.boxes.shape[1] * 2
+    assert int(out.mask.sum()) == int(s1.mask.sum()) + int(s2.mask.sum())
+
+
+def test_full_device_pipeline_jits():
+    """mosaic -> affine -> hsv -> flip chain under one jit."""
+    samples = _host_samples(8, seed=9)
+    dev = _to_device_sample(samples)
+
+    @jax.jit
+    def pipeline(s, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        m = mosaic4_batch(s, k1, S)
+        v = sample_affine_values_batch(k2, m.images.shape[0])
+        a = affine_batch(m, v, S, border=(-S // 2, -S // 2))
+        imgs = hsv_batch(a.images, k3)
+        return flip_batch(a._replace(images=imgs), k4)
+
+    out = pipeline(dev, jax.random.PRNGKey(0))
+    assert out.images.shape == (2, S, S, 3)
+    assert np.isfinite(np.asarray(out.images)).all()
