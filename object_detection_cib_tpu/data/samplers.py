@@ -61,15 +61,17 @@ class ClassAwareSampler:
         img_ids = [s.id for s in dataset_info.samples]
         id_to_index = {x: i for i, x in enumerate(img_ids)}
 
-        self.class_cycle = RandomCycleSampler(
-            list(range(len(dataset_info.classes))), rng
-        )
         self.per_class_cycles: dict = {}
+        populated = []
         for ci, cname in enumerate(dataset_info.classes):
             members = dataset_info.filter(cname, [cname]).samples
+            if not members:  # classes with zero instances can't be drawn
+                continue
+            populated.append(ci)
             self.per_class_cycles[ci] = RandomCycleSampler(
                 [id_to_index[s.id] for s in members], rng
             )
+        self.class_cycle = RandomCycleSampler(populated, rng)
         self.sampler_indices: List[int] = list(range(len(dataset_info.samples)))
 
     def __len__(self) -> int:
