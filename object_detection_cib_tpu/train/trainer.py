@@ -365,6 +365,14 @@ class Trainer:
         last_val: Dict[str, float] = {}
         overfit_cache = None
 
+        # jax.profiler tracing (ref debug=profiler preset, SURVEY.md §5.1):
+        # trace steps [profile_start, profile_start+profile_steps) to
+        # <output_dir>/profile, viewable in TensorBoard/XProf.
+        prof_cfg = tcfg.get("profiler")
+        prof_start = int(tcfg.get("profile_start_step", 5))
+        prof_steps = int(tcfg.get("profile_steps", 5))
+        prof_active = False
+
         for epoch in range(max_epochs):
             epoch_t0 = time.time()
             n_images = 0
@@ -390,8 +398,15 @@ class Trainer:
             for bi, batch in enumerate(batches):
                 if bi >= n_batches:
                     break
+                if prof_cfg and not prof_active and global_step == prof_start:
+                    jax.profiler.start_trace(str(self.out_dir / "profile"))
+                    prof_active = True
                 self.state, m = self.train_step(self.state, batch)
                 global_step += 1
+                if prof_active and global_step >= prof_start + prof_steps:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    prof_active = False
                 n_images += batch.images.shape[0]
                 if global_step % log_every == 0:
                     metrics = {
@@ -421,6 +436,10 @@ class Trainer:
 
             if self.sampler_debug and self.sampler is not None:
                 self._dump_sampler_stats(epoch)
+
+        if prof_active:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
 
         return last_val
 
