@@ -1,0 +1,278 @@
+"""Production input pipeline: native C++ decode -> on-device augmentation.
+
+This is the TPU hot path (BASELINE.json north star): the host stage is one
+native call per batch (JPEG decode + bilinear resize + pack, std::thread,
+GIL-free — native/loader.cpp), and mosaic/affine/HSV/flip/mixup run under
+jit on device (ops/augment.py), overlapping with training via a prefetch
+thread. The host-side numpy pipeline (data/pipeline.py) remains the parity
+path; both implement the same semantics as the reference's cv2 stack
+(kod/data/mosaic.py, kod/data/augmentations/default.py).
+
+Pipeline per train batch of size B (mosaic needs 4 source images per
+sample, mixup a further 4 — ref detection.py:112-145):
+  1. sampler draws B primary indices; 3B co-samples from
+     `sampler_indices` weighted by `image_repeat_factors`
+  2. native pack: (4B, S, S, 3) uint8 canvases + content sizes
+  3. device (one jit): mosaic -> affine(border=-S/2) -> HSV -> flip
+     [-> second mosaic + mixup] -> normalized Batch
+"""
+
+from __future__ import annotations
+
+import queue
+import random as pyrandom
+import threading
+from functools import partial
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detection_cib_tpu.data import native_loader
+from object_detection_cib_tpu.data.cache import DatasetInfo
+from object_detection_cib_tpu.data.host_augment import AugParams
+from object_detection_cib_tpu.ops.augment import (
+    DeviceSample,
+    affine_batch,
+    flip_batch,
+    hsv_batch,
+    mixup_batch,
+    mosaic4_batch,
+    sample_affine_values_batch,
+)
+from object_detection_cib_tpu.train.steps import Batch
+from object_detection_cib_tpu.utils.fs import get_root_dir
+
+
+def build_device_augment_fn(
+    target_size: int,
+    aug: AugParams,
+    mixup_prob: float = 0.0,
+    max_targets: int = 120,
+):
+    """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch."""
+    ap = aug.affine_params
+    border = (-target_size // 2, -target_size // 2)
+
+    def augment_group(sample: DeviceSample, key) -> DeviceSample:
+        k_m, k_a, k_h, k_f = jax.random.split(key, 4)
+        s = mosaic4_batch(sample, k_m, target_size)
+        values = sample_affine_values_batch(
+            k_a,
+            s.images.shape[0],
+            degrees=ap.degrees,
+            translate=ap.translate,
+            scale=ap.scale,
+            shear=ap.shear,
+            perspective=ap.perspective,
+        )
+        s = affine_batch(s, values, target_size, border=border)
+        hp = aug.hsv_params
+        if hp.should_aug():
+            s = s._replace(
+                images=hsv_batch(s.images, k_h, hp.hue, hp.saturation, hp.value)
+            )
+        if aug.flip_lr_prob > 0:
+            s = flip_batch(s, k_f, aug.flip_lr_prob)
+        return s
+
+    def to_batch(s: DeviceSample) -> Batch:
+        T = s.boxes.shape[1]
+        if T > max_targets:
+            # keep valid slots first, then truncate to capacity
+            order = jnp.argsort(~s.mask, axis=1, stable=True)[:, :max_targets]
+            boxes = jnp.take_along_axis(s.boxes, order[..., None], axis=1)
+            labels = jnp.take_along_axis(s.labels, order, axis=1)
+            mask = jnp.take_along_axis(s.mask, order, axis=1)
+        else:
+            pad = max_targets - T
+            boxes = jnp.pad(s.boxes, ((0, 0), (0, pad), (0, 0)))
+            labels = jnp.pad(s.labels, ((0, 0), (0, pad)))
+            mask = jnp.pad(s.mask, ((0, 0), (0, pad)))
+        return Batch(
+            images=s.images / 255.0,
+            boxes=boxes,
+            labels=jnp.where(mask, labels, 0),
+            mask=mask,
+        )
+
+    if mixup_prob > 0.0:
+
+        @jax.jit
+        def fn(primary: DeviceSample, secondary: DeviceSample, key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            a = augment_group(primary, k1)
+            b = augment_group(secondary, k2)
+            mixed = mixup_batch(a, b, k3)
+            do = jax.random.uniform(k4, (a.images.shape[0],)) < mixup_prob
+            T = a.boxes.shape[1]
+            images = jnp.where(do[:, None, None, None], mixed.images, a.images)
+            boxes = jnp.where(
+                do[:, None, None], mixed.boxes, jnp.pad(a.boxes, ((0, 0), (0, T), (0, 0)))
+            )
+            labels = jnp.where(do[:, None], mixed.labels, jnp.pad(a.labels, ((0, 0), (0, T))))
+            mask = jnp.where(do[:, None], mixed.mask, jnp.pad(a.mask, ((0, 0), (0, T))))
+            return to_batch(DeviceSample(images, a.sizes, boxes, labels, mask))
+
+        return fn
+
+    @jax.jit
+    def fn(primary: DeviceSample, key):
+        return to_batch(augment_group(primary, key))
+
+    return fn
+
+
+class DeviceDataPipeline:
+    """Prefetching train-batch producer over the native+device path."""
+
+    def __init__(
+        self,
+        dataset_info: DatasetInfo,
+        target_size: int,
+        batch_size: int,
+        aug_params: AugParams,
+        max_targets: int = 120,
+        mixup_prob: float = 0.0,
+        sampler=None,
+        seed: int = 0,
+        root_dir: Optional[Path] = None,
+        fake_mode: bool = False,
+        prefetch: int = 2,
+        device_put_fn=None,
+    ):
+        assert native_loader.available(), "native loader not built"
+        self.info = dataset_info
+        self.S = target_size
+        self.B = batch_size
+        self.max_targets = max_targets
+        self.mixup_prob = mixup_prob
+        self.sampler = sampler
+        self.root_dir = Path(root_dir) if root_dir else get_root_dir()
+        self.fake_mode = fake_mode
+        self.prefetch = prefetch
+        self.device_put_fn = device_put_fn
+        self.key = jax.random.PRNGKey(seed)
+        self.pyrng = pyrandom.Random(seed)
+        self.label_to_index = {c: i for i, c in enumerate(dataset_info.classes)}
+        self.augment_fn = build_device_augment_fn(
+            target_size, aug_params, mixup_prob, max_targets
+        )
+        self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
+        # per-source-image target capacity before mosaic merge
+        self.src_T = max(
+            max((len(s.targets) for s in dataset_info.samples), default=1), 1
+        )
+
+    def __len__(self) -> int:
+        return len(self.info.samples) // self.B
+
+    # -------------------------- host stage --------------------------
+    def _co_indices(self, k: int):
+        pool = getattr(self.sampler, "sampler_indices", None)
+        if pool is None:
+            pool = range(len(self.info.samples))
+        return self.pyrng.choices(pool, k=k, weights=self.image_repeat_factors)
+
+    def _targets_arrays(self, idx, scale_hw):
+        s = self.info.samples[idx]
+        boxes = np.zeros((self.src_T, 4), np.float32)
+        labels = np.zeros((self.src_T,), np.int32)
+        mask = np.zeros((self.src_T,), bool)
+        k = 0
+        sy, sx = scale_hw
+        for t in s.targets:
+            bb = t.bounding_box
+            if bb.x_max <= bb.x_min or bb.y_max <= bb.y_min or k >= self.src_T:
+                continue
+            boxes[k] = [bb.x_min * sx, bb.y_min * sy, bb.x_max * sx, bb.y_max * sy]
+            labels[k] = self.label_to_index[t.class_name]
+            mask[k] = True
+            k += 1
+        return boxes, labels, mask
+
+    def _load_group(self, indices) -> DeviceSample:
+        n = len(indices)
+        if self.fake_mode:
+            canvases = np.full((n, self.S, self.S, 3), 114, np.uint8)
+            sizes = np.zeros((n, 2), np.int32)
+            rng = np.random.default_rng(abs(hash(tuple(indices))) % (2**31))
+            for i, idx in enumerate(indices):
+                meta = self.info.samples[idx].image_metadata
+                scale = self.S / max(meta.height, meta.width)
+                h = min(max(int(round(meta.height * scale)), 1), self.S)
+                w = min(max(int(round(meta.width * scale)), 1), self.S)
+                canvases[i, :h, :w] = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                sizes[i] = (h, w)
+        else:
+            bufs = []
+            for idx in indices:
+                p = self.root_dir / self.info.samples[idx].image_path
+                bufs.append(p.read_bytes())
+            canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
+            if fails:
+                raise ValueError(f"{fails} JPEG decode failures in batch")
+
+        boxes = np.zeros((n, self.src_T, 4), np.float32)
+        labels = np.zeros((n, self.src_T), np.int32)
+        mask = np.zeros((n, self.src_T), bool)
+        for i, idx in enumerate(indices):
+            meta = self.info.samples[idx].image_metadata
+            sy = sizes[i, 0] / meta.height
+            sx = sizes[i, 1] / meta.width
+            boxes[i], labels[i], mask[i] = self._targets_arrays(idx, (sy, sx))
+        return DeviceSample(
+            jnp.asarray(canvases, jnp.float32),
+            jnp.asarray(sizes),
+            jnp.asarray(boxes),
+            jnp.asarray(labels),
+            jnp.asarray(mask),
+        )
+
+    # -------------------------- epoch iterator --------------------------
+    def __iter__(self) -> Iterator[Batch]:
+        if self.sampler is not None:
+            epoch_idx = list(np.asarray(self.sampler.epoch_indices()))
+        else:
+            epoch_idx = list(np.random.default_rng(self.pyrng.randrange(2**31))
+                             .permutation(len(self.info.samples)))
+        n_batches = len(epoch_idx) // self.B
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for bi in range(n_batches):
+                    primaries = epoch_idx[bi * self.B : (bi + 1) * self.B]
+                    group = []
+                    for p in primaries:
+                        four = [int(p)] + self._co_indices(3)
+                        self.pyrng.shuffle(four)
+                        group.extend(four)
+                    primary = self._load_group(group)
+                    self.key, k = jax.random.split(self.key)
+                    if self.mixup_prob > 0.0:
+                        sec = []
+                        for _ in primaries:
+                            sec.extend(self._co_indices(4))
+                        secondary = self._load_group(sec)
+                        batch = self.augment_fn(primary, secondary, k)
+                    else:
+                        batch = self.augment_fn(primary, k)
+                    if self.device_put_fn is not None:
+                        batch = self.device_put_fn(batch)
+                    q.put(batch)
+            except Exception as e:
+                q.put(e)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
