@@ -24,7 +24,17 @@ def main(argv=None):
     if argv and argv[0].startswith("--config-dir="):
         config_dir = Path(argv.pop(0).split("=", 1)[1])
     cfg = compose(config_dir, "train", argv)
-    return train(cfg)
+    # task wrapper: log exceptions to the run dir before re-raising
+    # (parity: kod/lightning/hydra_utils/misc.py:53-105)
+    try:
+        return train(cfg)
+    except Exception:
+        import traceback
+
+        out_dir = Path(cfg.get("paths", {}).get("output_dir", "."))
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "error.log").write_text(traceback.format_exc())
+        raise
 
 
 if __name__ == "__main__":

@@ -102,14 +102,21 @@ def _level_losses(
     iou = iou_fn(pred_xyxy, gt_xyxy)  # (K,)
     loc_loss = _masked_mean(1.0 - iou, valid)
 
-    # --- objectness (ref loss.py:100-126): scatter detached clamped IoU
+    # --- objectness (ref loss.py:100-126): target = detached clamped IoU at
+    # matched cells, 0 elsewhere, BCE-mean over the whole map. Instead of
+    # scattering the target (TPU scatters serialize), use the identity
+    # BCE(x, t) - BCE(x, 0) = -t*x:
+    #   mean BCE = [sum softplus(x) - sum_matched t*x] / N
+    # One gather replaces the scatter. (Duplicate (cell,anchor) matches sum
+    # their corrections where the reference's scatter keeps the last write —
+    # a rare, bounded deviation.)
     iou_t = jax.lax.stop_gradient(jnp.clip(iou, 0.0))
-    # Route invalid slots out of bounds so 'drop' discards them without
-    # clobbering cell (0,0,0,0).
-    s_sc = jnp.where(assign.valid, s, B)
-    tgt = jnp.zeros((B, H, W, A), jnp.float32)
-    tgt = tgt.at[s_sc, gy, gx, a].set(iou_t, mode="drop")
-    obj_loss = bce_with_logits(obj[..., 0], tgt).mean()
+    obj_l = obj[..., 0]
+    matched_x = obj_l[s, gy, gx, a]  # (K,)
+    n_cells = B * H * W * A
+    obj_loss = (
+        jax.nn.softplus(obj_l).sum() - (iou_t * matched_x * valid).sum()
+    ) / n_cells
 
     # --- classification (ref loss.py:128-164)
     nc = cls.shape[-1]

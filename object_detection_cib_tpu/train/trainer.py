@@ -296,7 +296,32 @@ class Trainer:
             self.state = restore_checkpoint(cfg["ckpt_path"], self.state)
 
     # ------------------------------------------------------------------
-    def _train_prefetcher(self) -> Prefetcher:
+    def _train_prefetcher(self):
+        dcfg = self.cfg["data"]
+        if dcfg.get("pipeline") == "device":
+            from object_detection_cib_tpu.data.device_pipeline import (
+                DeviceDataPipeline,
+            )
+            from object_detection_cib_tpu.data.host_augment import AugParams
+
+            aug_spec = dcfg.get("train_data_augmentor") or {}
+            aug = (
+                instantiate(aug_spec.get("aug_params"))
+                if aug_spec.get("aug_params")
+                else AugParams()
+            )
+            return DeviceDataPipeline(
+                self.train_info,
+                target_size=self.image_shape.width,
+                batch_size=self.batch_size,
+                aug_params=aug,
+                max_targets=self.max_targets,
+                mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
+                sampler=self.sampler,
+                seed=self.seed,
+                fake_mode=bool(dcfg.get("fake_mode")),
+                device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
+            )
         return Prefetcher(
             self.train_ds,
             self.batch_size,

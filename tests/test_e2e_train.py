@@ -80,6 +80,12 @@ def test_mixup_path(tmp_path):
     assert "map" in metrics
 
 
+def test_device_pipeline_through_trainer(tmp_path):
+    cfg = _cfg(tmp_path, "data.pipeline=device")
+    metrics = train(cfg)
+    assert "map" in metrics
+
+
 def test_trainer_exposes_components(tmp_path):
     t = Trainer(_cfg(tmp_path))
     assert t.net.num_classes == len(t.classes)
