@@ -61,9 +61,53 @@ P5_STAGES: Tuple[StageConfig, ...] = (
 
 
 class DetectionHeadResult(NamedTuple):
-    box: jnp.ndarray  # (B, H, W, A, 4)
-    obj: jnp.ndarray  # (B, H, W, A, 1)
-    cls: jnp.ndarray  # (B, H, W, A, nc)
+    """One level's predictions, kept FLAT for TPU efficiency.
+
+    raw: (B, H, W, A*(5+nc)) — channel blocks [box(A*4) | obj(A) | cls(A*nc)].
+    Emitting a single fused tensor instead of three (box/obj/cls) avoids
+    3x lane padding (e.g. 12/3/30 channels each pad to 128 lanes) and the
+    (A*p)->(A,p) relayout reshape on the hot path; consumers slice/reshape
+    at gather sites where tensors are small.
+    """
+
+    raw: jnp.ndarray
+    num_anchors: int
+    num_classes: int
+
+    @property
+    def box(self) -> jnp.ndarray:
+        """(B, H, W, A, 4) logical view (test/debug convenience)."""
+        A = self.num_anchors
+        b, h, w, _ = self.raw.shape
+        return self.raw[..., : A * 4].reshape(b, h, w, A, 4)
+
+    @property
+    def obj(self) -> jnp.ndarray:
+        """(B, H, W, A, 1) logical view."""
+        A = self.num_anchors
+        b, h, w, _ = self.raw.shape
+        return self.raw[..., A * 4 : A * 5].reshape(b, h, w, A, 1)
+
+    @property
+    def cls(self) -> jnp.ndarray:
+        """(B, H, W, A, nc) logical view."""
+        A, nc = self.num_anchors, self.num_classes
+        b, h, w, _ = self.raw.shape
+        return self.raw[..., A * 5 :].reshape(b, h, w, A, nc)
+
+    @classmethod
+    def from_parts(cls_, box, obj, cls):
+        """Assemble from (B,H,W,A,p) parts (test/interop convenience)."""
+        b, h, w, A, nc = cls.shape
+        raw = jnp.concatenate(
+            [
+                box.reshape(b, h, w, A * 4),
+                obj.reshape(b, h, w, A),
+                cls.reshape(b, h, w, A * nc),
+            ],
+            axis=-1,
+        )
+        return cls_(raw=raw, num_anchors=A, num_classes=nc)
 
 
 class Yolov5NetworkResult(NamedTuple):
@@ -216,25 +260,45 @@ class Yolov5Head(nn.Module):
             else retina
         )
 
-        def head_conv(feats, bias_add, name):
-            return nn.Conv(
-                feats,
-                (1, 1),
-                use_bias=True,
-                kernel_init=conv_kernel_init,
-                bias_init=_head_bias_init(A, feats // A, bias_add, fan_in),
-                dtype=self.dtype,
-                name=name,
-            )(x)
+        # Three logical 1x1 convs (separate params, matching the reference's
+        # sibling box/obj/cls heads) executed as ONE conv on concatenated
+        # kernels — identical math, one lane-padded output tensor instead of
+        # three (TPU pads the channel dim to 128 lanes).
+        def head_params(feats, bias_add, name):
+            k = self.param(
+                f"{name}_kernel",
+                conv_kernel_init,
+                (1, 1, fan_in, feats),
+                jnp.float32,
+            )
+            b = self.param(
+                f"{name}_bias",
+                _head_bias_init(A, feats // A, bias_add, fan_in),
+                (feats,),
+                jnp.float32,
+            )
+            return k, b
 
-        b, h, w, _ = x.shape
-        box = head_conv(A * 4, 0.0, "box").reshape(b, h, w, A, 4)
-        obj = head_conv(A * 1, obj_add, "obj").reshape(b, h, w, A, 1)
-        cls = head_conv(A * nc, cls_add, "cls").reshape(b, h, w, A, nc)
-        # heads predict in fp32 for stable loss even under bf16 backbone
-        return DetectionHeadResult(
-            box.astype(jnp.float32), obj.astype(jnp.float32), cls.astype(jnp.float32)
+        kb, bb = head_params(A * 4, 0.0, "box")
+        ko, bo = head_params(A * 1, obj_add, "obj")
+        kc, bc = head_params(A * nc, cls_add, "cls")
+        kernel = jnp.concatenate([kb, ko, kc], axis=-1)
+        bias = jnp.concatenate([bb, bo, bc])
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x = x.astype(self.dtype)
+        raw = (
+            jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + bias
         )
+        return DetectionHeadResult(raw=raw, num_anchors=A, num_classes=nc)
 
 
 class Yolov5Network(nn.Module):

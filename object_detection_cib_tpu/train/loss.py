@@ -85,16 +85,25 @@ def _level_losses(
     iou_fn,
     class_weights: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (loc_loss, obj_loss_unweighted, cls_loss) for one level."""
-    box = head.box.astype(jnp.float32)
-    obj = head.obj.astype(jnp.float32)
-    cls = head.cls.astype(jnp.float32)
-    B, H, W, A, _ = box.shape
+    """Returns (loc_loss, obj_loss_unweighted, cls_loss) for one level.
+
+    Consumes the head's flat (B, H, W, A*(5+nc)) tensor: one row-gather at
+    the matched cells yields (K, C) in fp32; box/obj/cls are sliced from the
+    small gathered rows, so the big prediction map is never relaid out or
+    upcast (it stays bf16 and is touched once more by the fused
+    softplus-reduce of the objectness term).
+    """
+    raw = head.raw
+    A, nc = head.num_anchors, head.num_classes
+    B, H, W, _ = raw.shape
     s, gy, gx, a = assign.sample_idx, assign.grid_y, assign.grid_x, assign.anchor_idx
     valid = assign.valid.astype(jnp.float32)
+    K = s.shape[0]
+    rows = raw[s, gy, gx].astype(jnp.float32)  # (K, A*(5+nc)) gather
+    rng = jnp.arange(K)
 
     # --- localization (ref loss.py:65-98)
-    p = box[s, gy, gx, a]  # (K, 4) gather
+    p = rows[:, : A * 4].reshape(K, A, 4)[rng, a]  # (K, 4)
     pred_xy = jax.nn.sigmoid(p[:, 0:2]) * 2.0 - 0.5
     pred_wh = (jax.nn.sigmoid(p[:, 2:4]) * 2.0) ** 2 * assign.anchors_wh
     pred_xyxy = cxcywh_to_xyxy(jnp.concatenate([pred_xy, pred_wh], axis=-1))
@@ -111,16 +120,16 @@ def _level_losses(
     # their corrections where the reference's scatter keeps the last write —
     # a rare, bounded deviation.)
     iou_t = jax.lax.stop_gradient(jnp.clip(iou, 0.0))
-    obj_l = obj[..., 0]
-    matched_x = obj_l[s, gy, gx, a]  # (K,)
+    obj_map = raw[..., A * 4 : A * 5]  # (B, H, W, A) lane slice, bf16-safe
+    matched_x = rows[:, A * 4 : A * 5][rng, a]  # (K,)
     n_cells = B * H * W * A
     obj_loss = (
-        jax.nn.softplus(obj_l).sum() - (iou_t * matched_x * valid).sum()
+        jax.nn.softplus(obj_map.astype(jnp.float32)).sum()
+        - (iou_t * matched_x * valid).sum()
     ) / n_cells
 
     # --- classification (ref loss.py:128-164)
-    nc = cls.shape[-1]
-    pc = cls[s, gy, gx, a]  # (K, nc)
+    pc = rows[:, A * 5 :].reshape(K, A, nc)[rng, a]  # (K, nc)
     one_hot = jax.nn.one_hot(assign.labels, nc, dtype=jnp.float32)
     cls_el = bce_with_logits(pc, one_hot, pos_weight=class_weights)  # (K, nc)
     # reference mean over (matches x classes); masked rows excluded
@@ -155,7 +164,7 @@ def yolov5_loss(
         obj = obj + w * o
         cls = cls + c
 
-    nc = net_result.ll.cls.shape[-1]
+    nc = net_result.ll.num_classes
     lambda_obj = params.lambda_objectness * (image_shape.width / 640.0) ** 2
     lambda_cls = params.lambda_classification * (nc / 80.0)
 

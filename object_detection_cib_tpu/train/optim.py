@@ -77,7 +77,7 @@ def group_params(params: Any) -> Any:
     def label(path, _leaf):
         names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
         last = names[-1]
-        if last == "bias":
+        if last == "bias" or last.endswith("_bias"):
             return GROUP_BIAS
         if last == "scale":
             return GROUP_NORM

@@ -44,7 +44,7 @@ def _zeros_net(B=1, nc=NC, A=1, img=IMG):
     for s in (8, 16, 32):
         g = img // s
         levels.append(
-            DetectionHeadResult(
+            DetectionHeadResult.from_parts(
                 box=jnp.zeros((B, g, g, A, 4)),
                 obj=jnp.full((B, g, g, A, 1), -10.0),
                 cls=jnp.zeros((B, g, g, A, nc)),
@@ -145,7 +145,7 @@ def test_loss_gradients_finite():
         for s in (8, 16, 32):
             g = IMG // s
             levels.append(
-                DetectionHeadResult(
+                DetectionHeadResult.from_parts(
                     box=jnp.full((1, g, g, 1, 4), x),
                     obj=jnp.full((1, g, g, 1, 1), x),
                     cls=jnp.full((1, g, g, 1, NC), x),

@@ -57,11 +57,11 @@ def test_head_prior_bias():
     p = variables["params"]
     # obj bias centered at log(8/(640/stride)^2) (ref heads/yolov5.py:114)
     for name, stride in [("ll_head", 8), ("ml_head", 16), ("hl_head", 32)]:
-        bias = np.asarray(p[name]["obj"]["bias"])
+        bias = np.asarray(p[name]["obj_bias"])
         expect = math.log(8.0 / (640.0 / stride) ** 2)
         assert abs(bias.mean() - expect) < 0.2, (name, bias.mean(), expect)
     # cls bias centered at log(0.6/(nc-0.99999)) (ref heads/yolov5.py:66)
-    cls_bias = np.asarray(p["ll_head"]["cls"]["bias"])
+    cls_bias = np.asarray(p["ll_head"]["cls_bias"])
     assert abs(cls_bias.mean() - math.log(0.6 / (10 - 0.99999))) < 0.2
 
 
