@@ -39,7 +39,7 @@ def make_fake_batch(B, img, T, nc, seed=0):
             labels[b, t] = rng.integers(0, nc)
             mask[b, t] = True
     return Batch(
-        images=jnp.asarray(rng.random((B, img, img, 3), np.float32)),
+        images=jnp.asarray(rng.random((B, img, img, 3), np.float32), jnp.bfloat16),
         boxes=jnp.asarray(boxes),
         labels=jnp.asarray(labels),
         mask=jnp.asarray(mask),

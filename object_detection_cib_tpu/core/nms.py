@@ -79,6 +79,7 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms: int = 2048,
     multi_label: Optional[bool] = None,
+    impl: str = "xla",
 ) -> NMSResult:
     """Batched NMS on raw decoded detections.
 
@@ -141,9 +142,16 @@ def non_max_suppression(
     # per-class offset so cross-class pairs never overlap (ref nms.py:66-69)
     offset_boxes = top_boxes + (top_class.astype(jnp.float32) * _MAX_WH)[..., None]
 
-    keep = jax.vmap(_greedy_nms_mask, in_axes=(0, 0, None))(
-        offset_boxes, live, iou_thres
-    )  # (B, K)
+    if impl in ("pallas", "pallas_interpret") and k % 256 == 0:
+        from object_detection_cib_tpu.ops.pallas_nms import pallas_greedy_nms_mask
+
+        keep = pallas_greedy_nms_mask(
+            offset_boxes, live, iou_thres, interpret=impl == "pallas_interpret"
+        )
+    else:
+        keep = jax.vmap(_greedy_nms_mask, in_axes=(0, 0, None))(
+            offset_boxes, live, iou_thres
+        )  # (B, K)
 
     # compact kept detections to the front, cap at max_det
     kept_scores = jnp.where(keep, top_scores, -1.0)

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: greedy-NMS suppression fixpoint in VMEM.
+
+The device NMS (core/nms.py) computes a (K, K) IoU matrix and runs a Jacobi
+fixpoint to the exact greedy solution. Under plain XLA each Jacobi sweep
+re-streams the suppression matrix from HBM; this kernel keeps boxes, the
+suppression bitmask, and the keep vector resident in VMEM for the whole
+solve (K=2048: the int8 mask is 4MB — fits), so fixpoint iterations cost
+VPU time only.
+
+Single-program grid: the IoU matrix is built tile-by-tile (TILE x K) from
+the (K, 4) boxes and thresholded immediately to int8 (fp32 KxK is never
+materialized), then the Jacobi loop runs on the in-VMEM mask. Batched with
+vmap (one program per image).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 256
+
+
+def _nms_kernel(boxes_ref, live_ref, keep_ref, supp_ref, *, thr: float):
+    """boxes (K,4) f32, live (K,1) f32 -> keep (K,1) f32.
+
+    supp_ref: (K, K) int8 VMEM scratch; supp[j, i]=1 iff the higher-scored
+    (earlier) box j overlaps i beyond `thr`.
+    """
+    K = boxes_ref.shape[0]
+    boxes = boxes_ref[:]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1) * (y2 - y1)
+    n_tiles = K // _TILE
+
+    def build_tile(t, _):
+        s = t * _TILE
+        bx1 = jax.lax.dynamic_slice_in_dim(x1, s, _TILE)
+        by1 = jax.lax.dynamic_slice_in_dim(y1, s, _TILE)
+        bx2 = jax.lax.dynamic_slice_in_dim(x2, s, _TILE)
+        by2 = jax.lax.dynamic_slice_in_dim(y2, s, _TILE)
+        barea = jax.lax.dynamic_slice_in_dim(area, s, _TILE)
+        ix1 = jnp.maximum(bx1[:, None], x1[None, :])  # (T, K)
+        iy1 = jnp.maximum(by1[:, None], y1[None, :])
+        ix2 = jnp.minimum(bx2[:, None], x2[None, :])
+        iy2 = jnp.minimum(by2[:, None], y2[None, :])
+        inter = jnp.clip(ix2 - ix1, 0.0) * jnp.clip(iy2 - iy1, 0.0)
+        union = barea[:, None] + area[None, :] - inter
+        iou = inter / (union + 1e-7)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, K), 0) + s
+        cols = jax.lax.broadcasted_iota(jnp.int32, (_TILE, K), 1)
+        tile = jnp.where((iou > thr) & (rows < cols), 1, 0).astype(jnp.int8)
+        supp_ref[pl.ds(s, _TILE), :] = tile
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, build_tile, 0)
+
+    live = live_ref[:, 0] > 0.5
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < K, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        keep_i = jnp.where(keep, 1, 0).astype(jnp.int8)
+        killed = (supp_ref[:] * keep_i[:, None]).max(axis=0) > 0
+        return live & ~killed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (live, jnp.zeros_like(live), jnp.zeros((), jnp.int32))
+    )
+    keep_ref[:, 0] = jnp.where(keep, 1.0, 0.0)
+
+
+def pallas_greedy_nms_mask(
+    boxes: jnp.ndarray,
+    live: jnp.ndarray,
+    iou_thres: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B?, K, 4) boxes + (B?, K) live -> exact greedy keep mask.
+
+    K must be a multiple of 256 (pad candidates with live=False otherwise).
+    """
+
+    def run(b, l):
+        K = b.shape[0]
+        assert K % _TILE == 0, f"K={K} must be a multiple of {_TILE}"
+        out = pl.pallas_call(
+            functools.partial(_nms_kernel, thr=float(iou_thres)),
+            out_shape=jax.ShapeDtypeStruct((K, 1), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((K, K), jnp.int8)],
+            interpret=interpret,
+        )(b.astype(jnp.float32), jnp.where(l, 1.0, 0.0)[:, None])
+        return out[:, 0] > 0.5
+
+    if boxes.ndim == 2:
+        return run(boxes, live)
+    return jax.vmap(run)(boxes, live)

@@ -162,12 +162,20 @@ class SmartSGD:
         return lr_bias, lr_other, mom
 
     def update(self, grads: Any, state: SmartSGDState, params: Any, step):
+        """Apply SGD. The per-group math runs on a single flattened buffer
+        per group (3 large fused elementwise ops) instead of one tiny op per
+        parameter — profiling showed ~280 small per-leaf updates serializing
+        on memory-space copies and dominating the non-conv step time."""
         cfg = self.config
         lr_bias, lr_other, mom = self.hyperparams(step)
         groups = group_params(params)
 
-        def upd(g, p, buf, group):
-            g = g.astype(jnp.float32)
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_b = treedef.flatten_up_to(state.momentum_buf)
+        flat_groups = treedef.flatten_up_to(groups)
+
+        def upd_flat(g, p, buf, group):
             if group == GROUP_DECAY and cfg.weight_decay:
                 g = g + cfg.weight_decay * p  # torch coupled decay
             new_buf = mom * buf + g
@@ -175,15 +183,25 @@ class SmartSGD:
             lr = lr_bias if group == GROUP_BIAS else lr_other
             return p - lr * d, new_buf
 
-        flat_p, treedef = jax.tree.flatten(params)
-        flat_g = treedef.flatten_up_to(grads)
-        flat_b = treedef.flatten_up_to(state.momentum_buf)
-        flat_groups = treedef.flatten_up_to(groups)
-        new_p, new_b = [], []
-        for g, p, b, grp in zip(flat_g, flat_p, flat_b, flat_groups):
-            np_, nb_ = upd(g, p, b, grp)
-            new_p.append(np_)
-            new_b.append(nb_)
+        new_p: list = [None] * len(flat_p)
+        new_b: list = [None] * len(flat_p)
+        for grp in (GROUP_BIAS, GROUP_NORM, GROUP_DECAY):
+            idxs = [i for i, gg in enumerate(flat_groups) if gg == grp]
+            if not idxs:
+                continue
+            sizes = [flat_p[i].size for i in idxs]
+            shapes = [flat_p[i].shape for i in idxs]
+            pc = jnp.concatenate([flat_p[i].ravel() for i in idxs])
+            gc = jnp.concatenate(
+                [flat_g[i].ravel().astype(jnp.float32) for i in idxs]
+            )
+            bc = jnp.concatenate([flat_b[i].ravel() for i in idxs])
+            npc, nbc = upd_flat(gc, pc, bc, grp)
+            off = 0
+            for i, size, shape in zip(idxs, sizes, shapes):
+                new_p[i] = jax.lax.dynamic_slice_in_dim(npc, off, size).reshape(shape)
+                new_b[i] = jax.lax.dynamic_slice_in_dim(nbc, off, size).reshape(shape)
+                off += size
         return (
             jax.tree.unflatten(treedef, new_p),
             SmartSGDState(momentum_buf=jax.tree.unflatten(treedef, new_b)),

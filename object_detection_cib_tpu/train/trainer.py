@@ -290,7 +290,39 @@ class Trainer:
             monitor=cb.get("monitor", "map"),
             mode=cb.get("mode", "max"),
         )
-        self.sampler_debug = bool((cfg.get("callbacks") or {}).get("sampler_debug"))
+        callbacks_cfg = cfg.get("callbacks") or {}
+        self.sampler_debug = bool(callbacks_cfg.get("sampler_debug"))
+        # early stopping (parity: kod/configs/callbacks/early_stopping.yaml)
+        es = callbacks_cfg.get("early_stopping") or {}
+        self.es_patience = int(es.get("patience", 0))  # 0 = disabled
+        self.es_monitor = es.get("monitor", "map")
+
+        # hyperparameter/param-count logging
+        # (parity: kod/lightning/hydra_utils/logging.py:18-64)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+        print(
+            f"model: yolov5 widen={self.net.widen_factor} "
+            f"deepen={self.net.deepen_factor} nc={nc} params={n_params:,} | "
+            f"mesh={dict(zip(('data','model'), self.mesh.devices.shape))} | "
+            f"dataset={name} train={len(self.train_info.samples) if self.train_info else 0} "
+            f"val={len(self.val_info.samples)}",
+            flush=True,
+        )
+        (out_dir / "hparams.json").write_text(
+            json.dumps(
+                {
+                    "num_params": n_params,
+                    "num_classes": nc,
+                    "widen_factor": self.net.widen_factor,
+                    "deepen_factor": self.net.deepen_factor,
+                    "batch_size": self.batch_size,
+                    "image_size": img,
+                    "steps_per_epoch": steps_per_epoch,
+                    "dataset": name,
+                },
+                indent=2,
+            )
+        )
 
         if cfg.get("ckpt_path"):
             self.state = restore_checkpoint(cfg["ckpt_path"], self.state)
@@ -389,6 +421,7 @@ class Trainer:
         global_step = int(self.state.step)
         last_val: Dict[str, float] = {}
         overfit_cache = None
+        es_best, es_bad_epochs = None, 0
 
         # jax.profiler tracing (ref debug=profiler preset, SURVEY.md §5.1):
         # trace steps [profile_start, profile_start+profile_steps) to
@@ -457,6 +490,21 @@ class Trainer:
                     flush=True,
                 )
                 self.ckpt.maybe_save_best(self.state, last_val)
+                if self.es_patience:
+                    cur = last_val.get(self.es_monitor)
+                    if cur is not None:
+                        if es_best is None or cur > es_best:
+                            es_best, es_bad_epochs = cur, 0
+                        else:
+                            es_bad_epochs += 1
+                            if es_bad_epochs >= self.es_patience:
+                                print(
+                                    f"early stopping: no {self.es_monitor} "
+                                    f"improvement for {self.es_patience} epochs",
+                                    flush=True,
+                                )
+                                self.ckpt.save_last(self.state)
+                                return last_val
             self.ckpt.save_last(self.state)
 
             if self.sampler_debug and self.sampler is not None:
