@@ -84,6 +84,8 @@ def main(argv=None):
         out = gen_cache(zipf, args.split, args.cache_dir, args.name)
         print(f"wrote {out} ({len(zipf.samples)} samples)")
     elif args.cmd == "make-synthetic":
+        from object_detection_cib_tpu.utils.fs import get_root_dir
+
         out_dir = get_default_datasets_dir()
         info = build_synthetic_dataset(
             out_dir,
@@ -91,6 +93,7 @@ def main(argv=None):
             num_images=args.num_images,
             image_size=args.image_size,
             seed=args.seed,
+            path_prefix=str(out_dir.relative_to(get_root_dir())),
         )
         out = gen_cache(info, args.split, get_default_dataset_cache_dir())
         info.summarize()

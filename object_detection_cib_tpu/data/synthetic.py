@@ -74,8 +74,13 @@ def build_synthetic_dataset(
     max_objects: int = 6,
     zipf_a: float = 1.01,
     seed: int = 0,
+    path_prefix: str = "",
 ) -> DatasetInfo:
-    """Generate JPEGs + manifest with a Zipf long-tail over classes."""
+    """Generate JPEGs + manifest with a Zipf long-tail over classes.
+
+    `path_prefix` prepends recorded image paths so manifests resolve from a
+    data root different from `out_dir` (e.g. KOD_DATA_ROOT_DIR).
+    """
     from PIL import Image
 
     out_dir = Path(out_dir)
@@ -109,6 +114,8 @@ def build_synthetic_dataset(
             )
         rel = f"{name}/img_{i:05d}.jpg"
         Image.fromarray(img).save(out_dir / rel, quality=92)
+        if path_prefix:
+            rel = f"{path_prefix}/{rel}"
         samples.append(
             SampleInfo(
                 id=f"syn-{i}",

@@ -97,11 +97,14 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
         try:
             return deser(f"{name}-{split}", "train", out_dir)
         except FileNotFoundError:
+            from object_detection_cib_tpu.utils.fs import get_root_dir
+
             info = build_synthetic_dataset(
                 out_dir,
                 name=f"{name}-{split}",
                 num_images=int(cfg.get("synthetic_images", 200 if split == "train" else 50)),
                 seed=0 if split == "train" else 1,
+                path_prefix=str(out_dir.relative_to(get_root_dir())),
             )
             ser(info, "train", out_dir)
             marker.write_text(json.dumps({"built": True}))
@@ -407,7 +410,22 @@ class Trainer:
             res = jax.tree.map(lambda x: np.asarray(x)[:B], res)
             evaluator.add_batch(res, batch.boxes, batch.labels, batch.mask)
         metrics = evaluator.results_dict()
+        self._print_map_table(metrics)
         return metrics
+
+    def _print_map_table(self, metrics: Dict[str, float]):
+        """mAP summary table (parity: ref pycoco_map_eval.py:108-138)."""
+        try:
+            from rich.console import Console
+            from rich.table import Table
+
+            table = Table(title="MAP", show_header=False, show_lines=False)
+            for k, v in metrics.items():
+                table.add_row(k, f"{v:.4f}")
+            Console().print(table)
+        except Exception:
+            for k, v in metrics.items():
+                print(f"  {k}: {v:.4f}")
 
     def fit(self) -> Dict[str, float]:
         tcfg = self.cfg["trainer"]
@@ -419,6 +437,8 @@ class Trainer:
         log_every = int(tcfg.get("log_every_n_steps", 20))
 
         global_step = int(self.state.step)
+        # resume mid-run: continue from the restored step's epoch
+        start_epoch = global_step // max(self.steps_per_epoch, 1)
         last_val: Dict[str, float] = {}
         overfit_cache = None
         es_best, es_bad_epochs = None, 0
@@ -431,7 +451,7 @@ class Trainer:
         prof_steps = int(tcfg.get("profile_steps", 5))
         prof_active = False
 
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             epoch_t0 = time.time()
             n_images = 0
 
@@ -527,6 +547,40 @@ class Trainer:
         out.write_text(json.dumps(counts, indent=2))
 
 
+    def predict(self, out_path: Optional[Path] = None) -> list:
+        """Run detection over the validation/prediction split and dump
+        per-image boxes as JSON (the reference's predict_dataloader path,
+        kod/lightning/data_module.py:160-174)."""
+        results = []
+        for batch in self._val_prefetcher():
+            B = batch.images.shape[0]
+            pad = (-B) % self.mesh.devices.size
+            images = batch.images
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+            res = self.eval_step(
+                self.state.params, self.state.batch_stats,
+                shard_batch_pytree(images, self.mesh),
+            )
+            res = jax.tree.map(lambda x: np.asarray(x)[:B], res)
+            for i in range(B):
+                n = int(res.num_valid[i])
+                results.append(
+                    {
+                        "boxes": res.boxes[i][:n].tolist(),
+                        "scores": res.scores[i][:n].tolist(),
+                        "classes": [
+                            self.classes[int(c)] for c in res.classes[i][:n]
+                        ],
+                    }
+                )
+        if out_path is not None:
+            Path(out_path).write_text(json.dumps(results))
+        return results
+
+
 def train(cfg: dict) -> Dict[str, float]:
     """Entry task (parity: kod/lightning/tasks/trainer.py train())."""
     trainer = Trainer(cfg)
@@ -536,4 +590,6 @@ def train(cfg: dict) -> Dict[str, float]:
     if cfg.get("test", False):
         metrics = trainer.validate()
         print(json.dumps(metrics, indent=2))
+    if cfg.get("predict", False):
+        trainer.predict(trainer.out_dir / "predictions.json")
     return metrics
