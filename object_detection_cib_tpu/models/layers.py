@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -130,14 +131,32 @@ class CSPLayer(nn.Module):
 
 
 def _maxpool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """stride-1 maxpool with 'same' padding k//2 (torch MaxPool2d parity)."""
+    """stride-1 maxpool with 'same' padding k//2 (torch MaxPool2d parity).
+
+    Implemented as a max over k*k shifted views instead of reduce_window:
+    the reduce_window gradient (select_and_scatter) produces incorrect
+    results under GSPMD spatial sharding (verified empirically), while the
+    elementwise-max chain gradient shards cleanly. SPPF runs on the tiniest
+    feature map, so the extra reads are negligible.
+    """
     pad = k // 2
-    return nn.max_pool(
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else -(2**30)
+    xp = jnp.pad(
         x,
-        window_shape=(k, k),
-        strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        constant_values=neg,
     )
+    h, w = x.shape[1], x.shape[2]
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            v = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (xp.shape[0], dy + h, dx + w, xp.shape[3]),
+            )
+            out = v if out is None else jnp.maximum(out, v)
+    return out
 
 
 class SPPFBottleneck(nn.Module):

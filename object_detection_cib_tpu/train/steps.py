@@ -85,8 +85,16 @@ def make_train_step(
     loss_params: LossParams = LossParams(),
     class_weights: Optional[jnp.ndarray] = None,
     assign_threshold: float = 4.0,
+    head_sharding=None,
 ):
-    """Build the un-jitted train step; wrap with jit_train_step for a mesh."""
+    """Build the un-jitted train step; wrap with jit_train_step for a mesh.
+
+    head_sharding: optional NamedSharding applied to the head output maps
+    before the loss. Under spatial (model-axis) sharding this gathers the
+    small prediction maps to data-only sharding — the loss's index gathers'
+    backward is a scatter-add, which GSPMD mishandles on spatially-sharded
+    operands (empirically wrong grads), and the maps are tiny anyway.
+    """
 
     def train_step(state: TrainState, batch: Batch):
         def loss_fn(params):
@@ -96,6 +104,13 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
+            if head_sharding is not None:
+                out = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, head_sharding)
+                    if hasattr(x, "ndim") and x.ndim == 4
+                    else x,
+                    out,
+                )
             assignment = assign_targets(
                 batch.boxes,
                 batch.labels,
@@ -160,13 +175,22 @@ def make_eval_step(
     return eval_step
 
 
-def jit_train_step(train_step, mesh: Mesh):
-    """Compile the step for a mesh: batch sharded on `data`, state replicated."""
+def jit_train_step(train_step, mesh: Mesh, spatial: bool = False):
+    """Compile the step for a mesh: batch sharded on `data`, state replicated.
+
+    spatial=True additionally shards the image HEIGHT over the `model` axis
+    (the detector analog of sequence parallelism): XLA GSPMD inserts the
+    conv halo exchanges automatically; the loss's global gathers become
+    collective-permutes. Use for resolutions too large for one chip.
+    """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    img_sh = (
+        NamedSharding(mesh, P("data", "model")) if spatial else data
+    )
     return jax.jit(
         train_step,
-        in_shardings=(repl, Batch(data, data, data, data)),
+        in_shardings=(repl, Batch(img_sh, data, data, data)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
