@@ -102,13 +102,19 @@ def bench_nms(img=640, nc=10, batch=8, iters=50):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--skip-nms", action="store_true")
+    ap.add_argument("--skip-416", action="store_true")
     args = ap.parse_args()
 
     ips, last_loss = bench_train(img=args.img, batch=args.batch, steps=args.steps)
     nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
+    ips_416 = None
+    if not args.skip_416:
+        # the reference's actual training recipe resolution
+        # (kod/configs/data/default.yaml:10)
+        ips_416, _ = bench_train(img=416, batch=args.batch, steps=args.steps)
 
     out = {
         "metric": "train_images_per_sec_per_chip_yolov5s_640",
@@ -116,6 +122,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 2000.0, 4),
         "extra": {
+            "train_ips_416px": None if ips_416 is None else round(ips_416, 2),
             "nms_p50_ms": None if nms_p50 is None else round(nms_p50, 3),
             "last_loss": round(last_loss, 4),
             "batch": args.batch,

@@ -4,11 +4,11 @@ The device NMS (core/nms.py) computes a (K, K) IoU matrix and runs a Jacobi
 fixpoint to the exact greedy solution. Under plain XLA each Jacobi sweep
 re-streams the suppression matrix from HBM; this kernel keeps boxes, the
 suppression bitmask, and the keep vector resident in VMEM for the whole
-solve (K=2048: the int8 mask is 4MB — fits), so fixpoint iterations cost
+solve (K=2048: the bf16 mask is 8MB — fits), so fixpoint iterations cost
 VPU time only.
 
 Single-program grid: the IoU matrix is built tile-by-tile (TILE x K) from
-the (K, 4) boxes and thresholded immediately to int8 (fp32 KxK is never
+the (K, 4) boxes and thresholded immediately to bf16 0/1 (fp32 KxK is never
 materialized), then the Jacobi loop runs on the in-VMEM mask. Batched with
 vmap (one program per image).
 """
@@ -28,7 +28,7 @@ _TILE = 256
 def _nms_kernel(boxes_ref, live_ref, keep_ref, supp_ref, *, thr: float):
     """boxes (K,4) f32, live (K,1) f32 -> keep (K,1) f32.
 
-    supp_ref: (K, K) int8 VMEM scratch; supp[j, i]=1 iff the higher-scored
+    supp_ref: (K, K) bf16 VMEM scratch; supp[j, i]=1 iff the higher-scored
     (earlier) box j overlaps i beyond `thr`.
     """
     K = boxes_ref.shape[0]
@@ -37,13 +37,13 @@ def _nms_kernel(boxes_ref, live_ref, keep_ref, supp_ref, *, thr: float):
     area = (x2 - x1) * (y2 - y1)
     n_tiles = K // _TILE
 
-    def build_tile(t, _):
+    # Static unroll over row tiles; per-tile slices come straight from the
+    # VMEM ref with pl.ds (array dynamic_slice is not lowerable here).
+    for t in range(n_tiles):
         s = t * _TILE
-        bx1 = jax.lax.dynamic_slice_in_dim(x1, s, _TILE)
-        by1 = jax.lax.dynamic_slice_in_dim(y1, s, _TILE)
-        bx2 = jax.lax.dynamic_slice_in_dim(x2, s, _TILE)
-        by2 = jax.lax.dynamic_slice_in_dim(y2, s, _TILE)
-        barea = jax.lax.dynamic_slice_in_dim(area, s, _TILE)
+        tb = boxes_ref[pl.ds(s, _TILE), :]  # (T, 4)
+        bx1, by1, bx2, by2 = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
+        barea = (bx2 - bx1) * (by2 - by1)
         ix1 = jnp.maximum(bx1[:, None], x1[None, :])  # (T, K)
         iy1 = jnp.maximum(by1[:, None], y1[None, :])
         ix2 = jnp.minimum(bx2[:, None], x2[None, :])
@@ -53,11 +53,8 @@ def _nms_kernel(boxes_ref, live_ref, keep_ref, supp_ref, *, thr: float):
         iou = inter / (union + 1e-7)
         rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, K), 0) + s
         cols = jax.lax.broadcasted_iota(jnp.int32, (_TILE, K), 1)
-        tile = jnp.where((iou > thr) & (rows < cols), 1, 0).astype(jnp.int8)
+        tile = jnp.where((iou > thr) & (rows < cols), 1.0, 0.0).astype(jnp.bfloat16)
         supp_ref[pl.ds(s, _TILE), :] = tile
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, build_tile, 0)
 
     live = live_ref[:, 0] > 0.5
 
@@ -67,8 +64,8 @@ def _nms_kernel(boxes_ref, live_ref, keep_ref, supp_ref, *, thr: float):
 
     def body(state):
         keep, _, it = state
-        keep_i = jnp.where(keep, 1, 0).astype(jnp.int8)
-        killed = (supp_ref[:] * keep_i[:, None]).max(axis=0) > 0
+        keep_i = jnp.where(keep, 1.0, 0.0).astype(jnp.bfloat16)
+        killed = (supp_ref[:] * keep_i[:, None]).max(axis=0) > 0.5
         return live & ~killed, keep, it + 1
 
     keep, _, _ = jax.lax.while_loop(
@@ -99,7 +96,7 @@ def pallas_greedy_nms_mask(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((K, K), jnp.int8)],
+            scratch_shapes=[pltpu.VMEM((K, K), jnp.bfloat16)],
             interpret=interpret,
         )(b.astype(jnp.float32), jnp.where(l, 1.0, 0.0)[:, None])
         return out[:, 0] > 0.5

@@ -78,7 +78,8 @@ def _anchors_from_cfg(anchor_cfg: dict) -> LevelAnchors:
 
 
 def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
-    """Resolve a dataset by name: cached manifest, synthetic, or fake."""
+    """Resolve a dataset by name: cached manifest first, else synthetic/fake
+    auto-build (the zero-egress stand-ins for the COCO-backed datasets)."""
     if name.startswith("fake"):
         return build_fake_manifest(
             name=name,
@@ -86,31 +87,28 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
             num_images=int(cfg.get("fake_num_images", 64 if split == "train" else 16)),
             seed=0 if split == "train" else 1,
         )
-    if name.startswith("synthetic"):
-        out_dir = get_default_datasets_dir()
-        marker = out_dir / f"{name}-{split}.json"
-        from object_detection_cib_tpu.data.cache import (
-            deserialize_cached_dataset as deser,
-            serialize_cached_dataset as ser,
-        )
-
-        try:
-            return deser(f"{name}-{split}", "train", out_dir)
-        except FileNotFoundError:
-            from object_detection_cib_tpu.utils.fs import get_root_dir
-
-            info = build_synthetic_dataset(
-                out_dir,
-                name=f"{name}-{split}",
-                num_images=int(cfg.get("synthetic_images", 200 if split == "train" else 50)),
-                seed=0 if split == "train" else 1,
-                path_prefix=str(out_dir.relative_to(get_root_dir())),
-            )
-            ser(info, "train", out_dir)
-            marker.write_text(json.dumps({"built": True}))
-            return info
     cache_dir = cfg.get("dataset_cache_dir")
-    return deserialize_cached_dataset(name, split, cache_dir)
+    try:
+        return deserialize_cached_dataset(name, split, cache_dir)
+    except FileNotFoundError:
+        if not name.startswith("synthetic"):
+            raise
+        from object_detection_cib_tpu.data.cache import serialize_cached_dataset
+        from object_detection_cib_tpu.utils.fs import get_root_dir
+
+        out_dir = get_default_datasets_dir()
+        info = build_synthetic_dataset(
+            out_dir,
+            name=f"{name}-{split}",
+            num_images=int(
+                cfg.get("synthetic_images", 400 if split == "train" else 100)
+            ),
+            seed=0 if split == "train" else 1,
+            path_prefix=str(out_dir.relative_to(get_root_dir())),
+        )
+        info = info._replace(name=name)
+        serialize_cached_dataset(info, split, cache_dir)
+        return info
 
 
 def _compute_loss_weights(info: DatasetInfo) -> np.ndarray:
