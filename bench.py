@@ -79,24 +79,33 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s"):
     return batch * steps / dt / n_chips, float(metrics.total)
 
 
-def bench_nms(img=640, nc=10, batch=8, iters=50):
+def bench_nms(img=640, nc=10, batch=8, impl="xla"):
+    """Per-call device time via slope timing: single-call round-trips are
+    dominated by the remote-device tunnel RTT (~29ms here), so time N
+    pipelined dispatches and take the marginal cost."""
     from object_detection_cib_tpu.core.nms import non_max_suppression
 
     n = sum((img // s) ** 2 * 3 for s in (8, 16, 32))
     rng = np.random.default_rng(0)
     det = jnp.asarray(rng.random((batch, n, 5 + nc), np.float32) * 0.5)
-    f = jax.jit(
-        lambda d: non_max_suppression(d, conf_thres=0.001, iou_thres=0.6)
-    )
-    r = f(det)
-    jax.block_until_ready(r.boxes)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        r = f(det)
-        jax.block_until_ready(r.boxes)
-        times.append((time.perf_counter() - t0) * 1000)
-    return float(np.percentile(times, 50))
+    M = 20
+
+    def scan_nms(d):
+        def body(carry, i):
+            r = non_max_suppression(d + i * 1e-6, 0.001, 0.6, impl=impl)
+            return carry + r.boxes.sum(), None
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(M, dtype=jnp.float32))
+        return out
+
+    f = jax.jit(scan_nms)
+    _ = float(f(det))
+    t0 = time.perf_counter()
+    _ = float(f(det))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(f(det))
+    dt2 = time.perf_counter() - t0
+    return min(dt1, dt2) / M * 1000
 
 
 def main():

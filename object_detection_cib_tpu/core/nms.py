@@ -142,7 +142,8 @@ def non_max_suppression(
     # per-class offset so cross-class pairs never overlap (ref nms.py:66-69)
     offset_boxes = top_boxes + (top_class.astype(jnp.float32) * _MAX_WH)[..., None]
 
-    if impl in ("pallas", "pallas_interpret") and k % 256 == 0:
+    # Pallas kernel VMEM budget caps K at 1024 on v5e (bf16 KxK mask)
+    if impl in ("pallas", "pallas_interpret") and k % 256 == 0 and k <= 1024:
         from object_detection_cib_tpu.ops.pallas_nms import pallas_greedy_nms_mask
 
         keep = pallas_greedy_nms_mask(
