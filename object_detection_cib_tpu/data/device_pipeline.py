@@ -144,6 +144,7 @@ class DeviceDataPipeline:
         fake_mode: bool = False,
         prefetch: int = 2,
         device_put_fn=None,
+        enable_ram_cache: bool = False,
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -167,6 +168,10 @@ class DeviceDataPipeline:
         self.src_T = max(
             max((len(s.targets) for s in dataset_info.samples), default=1), 1
         )
+        # decoded-canvas RAM cache (ref enable_ram_cache, detection.py:66-76):
+        # one decode per image total instead of per epoch
+        self.enable_ram_cache = enable_ram_cache
+        self._canvas_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.info.samples) // self.B
@@ -209,13 +214,30 @@ class DeviceDataPipeline:
                 canvases[i, :h, :w] = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                 sizes[i] = (h, w)
         else:
-            bufs = []
-            for idx in indices:
-                p = self.root_dir / self.info.samples[idx].image_path
-                bufs.append(p.read_bytes())
-            canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
-            if fails:
-                raise ValueError(f"{fails} JPEG decode failures in batch")
+            missing = [
+                i for i in dict.fromkeys(indices) if i not in self._canvas_cache
+            ] if self.enable_ram_cache else None
+            if self.enable_ram_cache:
+                if missing:
+                    bufs = [
+                        (self.root_dir / self.info.samples[i].image_path).read_bytes()
+                        for i in missing
+                    ]
+                    cv, sz, fails = native_loader.pack_batch(bufs, self.S)
+                    if fails:
+                        raise ValueError(f"{fails} JPEG decode failures")
+                    for j, i in enumerate(missing):
+                        self._canvas_cache[i] = (cv[j], sz[j])
+                canvases = np.stack([self._canvas_cache[i][0] for i in indices])
+                sizes = np.stack([self._canvas_cache[i][1] for i in indices])
+            else:
+                bufs = [
+                    (self.root_dir / self.info.samples[idx].image_path).read_bytes()
+                    for idx in indices
+                ]
+                canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
+                if fails:
+                    raise ValueError(f"{fails} JPEG decode failures in batch")
 
         boxes = np.zeros((n, self.src_T, 4), np.float32)
         labels = np.zeros((n, self.src_T), np.int32)

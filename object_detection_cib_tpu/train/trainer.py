@@ -161,17 +161,18 @@ class Trainer:
             sampler_spec = dcfg.get("sampler")
             if sampler_spec:
                 sampler = instantiate(sampler_spec)(self.train_info)
-            self.train_ds = DetectionDataset(
-                self.train_info,
-                reader,
-                train_aug,
-                enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
-                use_mosaic=use_mosaic,
-                mosaic_target_size=img,
-                mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
-                sampler=sampler,
-                seed=self.seed,
-            )
+            if dcfg.get("pipeline") != "device":  # host parity path
+                self.train_ds = DetectionDataset(
+                    self.train_info,
+                    reader,
+                    train_aug,
+                    enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
+                    use_mosaic=use_mosaic,
+                    mosaic_target_size=img,
+                    mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
+                    sampler=sampler,
+                    seed=self.seed,
+                )
         self.sampler = sampler
         self.val_ds = DetectionDataset(
             self.val_info, reader, ValidationSampleAugmentor(),
@@ -332,6 +333,8 @@ class Trainer:
     def _train_prefetcher(self):
         dcfg = self.cfg["data"]
         if dcfg.get("pipeline") == "device":
+            if getattr(self, "_device_pipeline", None) is not None:
+                return self._device_pipeline  # persistent (keeps RAM cache)
             from object_detection_cib_tpu.data.device_pipeline import (
                 DeviceDataPipeline,
             )
@@ -343,7 +346,7 @@ class Trainer:
                 if aug_spec.get("aug_params")
                 else AugParams()
             )
-            return DeviceDataPipeline(
+            self._device_pipeline = DeviceDataPipeline(
                 self.train_info,
                 target_size=self.image_shape.width,
                 batch_size=self.batch_size,
@@ -354,7 +357,9 @@ class Trainer:
                 seed=self.seed,
                 fake_mode=bool(dcfg.get("fake_mode")),
                 device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
+                enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
             )
+            return self._device_pipeline
         return Prefetcher(
             self.train_ds,
             self.batch_size,
