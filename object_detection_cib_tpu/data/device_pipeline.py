@@ -58,6 +58,8 @@ def build_device_augment_fn(
 
     def augment_group(sample: DeviceSample, key) -> DeviceSample:
         k_m, k_a, k_h, k_f = jax.random.split(key, 4)
+        if sample.images.dtype != jnp.float32:
+            sample = sample._replace(images=sample.images.astype(jnp.float32))
         s = mosaic4_batch(sample, k_m, target_size)
         values = sample_affine_values_batch(
             k_a,
@@ -247,8 +249,10 @@ class DeviceDataPipeline:
             sy = sizes[i, 0] / meta.height
             sx = sizes[i, 1] / meta.width
             boxes[i], labels[i], mask[i] = self._targets_arrays(idx, (sy, sx))
+        # ship uint8: 4x less host->device traffic; cast to f32 on device
+        # inside the augment fn
         return DeviceSample(
-            jnp.asarray(canvases, jnp.float32),
+            jnp.asarray(canvases),
             jnp.asarray(sizes),
             jnp.asarray(boxes),
             jnp.asarray(labels),
