@@ -147,6 +147,7 @@ class DeviceDataPipeline:
         prefetch: int = 2,
         device_put_fn=None,
         enable_ram_cache: bool = False,
+        device_cache: bool = False,
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -174,9 +175,81 @@ class DeviceDataPipeline:
         # one decode per image total instead of per epoch
         self.enable_ram_cache = enable_ram_cache
         self._canvas_cache: dict = {}
+        # HBM-resident dataset: decode everything once, keep (N, S, S, 3)
+        # uint8 on device, and gather mosaic groups on device — per-step
+        # host->device traffic drops to indices+targets. The natural mode
+        # when the resized corpus fits in HBM (e.g. coco-zipf @416 ≈ 3GB).
+        self.device_cache = device_cache
+        self._ds_images = None
+        self._ds_sizes = None
+        self._gather_augment = None
+        if device_cache:
+            self._build_device_cache()
 
     def __len__(self) -> int:
         return len(self.info.samples) // self.B
+
+    # -------------------- HBM-resident dataset mode --------------------
+    def _build_device_cache(self):
+        n = len(self.info.samples)
+        canvases = np.full((n, self.S, self.S, 3), 114, np.uint8)
+        sizes = np.zeros((n, 2), np.int32)
+        if self.fake_mode:
+            rng = np.random.default_rng(0)
+            for i, s in enumerate(self.info.samples):
+                meta = s.image_metadata
+                scale = self.S / max(meta.height, meta.width)
+                h = min(max(int(round(meta.height * scale)), 1), self.S)
+                w = min(max(int(round(meta.width * scale)), 1), self.S)
+                canvases[i, :h, :w] = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                sizes[i] = (h, w)
+        else:
+            bufs = [
+                (self.root_dir / s.image_path).read_bytes()
+                for s in self.info.samples
+            ]
+            canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
+            if fails:
+                raise ValueError(f"{fails} JPEG decode failures in dataset")
+        self._ds_images = jax.device_put(canvases)
+        self._ds_sizes = jax.device_put(sizes)
+
+        core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
+
+        if self.mixup_prob > 0.0:
+
+            @jax.jit
+            def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
+                                   idx2, boxes2, labels2, mask2, key):
+                p = DeviceSample(ds_imgs[idx], ds_sizes[idx], boxes, labels, mask)
+                s = DeviceSample(ds_imgs[idx2], ds_sizes[idx2], boxes2, labels2,
+                                 mask2)
+                return core(p, s, key)
+
+        else:
+
+            @jax.jit
+            def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
+                                   key):
+                p = DeviceSample(ds_imgs[idx], ds_sizes[idx], boxes, labels, mask)
+                return core(p, key)
+
+        self._gather_augment = gather_and_augment
+
+    def _group_targets(self, indices):
+        n = len(indices)
+        boxes = np.zeros((n, self.src_T, 4), np.float32)
+        labels = np.zeros((n, self.src_T), np.int32)
+        mask = np.zeros((n, self.src_T), bool)
+        for i, idx in enumerate(indices):
+            meta = self.info.samples[idx].image_metadata
+            scale = self.S / max(meta.height, meta.width)
+            h = min(max(int(round(meta.height * scale)), 1), self.S)
+            w = min(max(int(round(meta.width * scale)), 1), self.S)
+            boxes[i], labels[i], mask[i] = self._targets_arrays(
+                idx, (h / meta.height, w / meta.width)
+            )
+        return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask)
 
     # -------------------------- host stage --------------------------
     def _co_indices(self, k: int):
@@ -278,15 +351,32 @@ class DeviceDataPipeline:
                         four = [int(p)] + self._co_indices(3)
                         self.pyrng.shuffle(four)
                         group.extend(four)
-                    primary = self._load_group(group)
                     self.key, k = jax.random.split(self.key)
+                    sec = []
                     if self.mixup_prob > 0.0:
-                        sec = []
                         for _ in primaries:
                             sec.extend(self._co_indices(4))
+                    if self._gather_augment is not None:
+                        # HBM-resident mode: ship only indices + targets
+                        idx = jnp.asarray(group, jnp.int32)
+                        b, l, m = self._group_targets(group)
+                        if self.mixup_prob > 0.0:
+                            idx2 = jnp.asarray(sec, jnp.int32)
+                            b2, l2, m2 = self._group_targets(sec)
+                            batch = self._gather_augment(
+                                self._ds_images, self._ds_sizes, idx, b, l, m,
+                                idx2, b2, l2, m2, k,
+                            )
+                        else:
+                            batch = self._gather_augment(
+                                self._ds_images, self._ds_sizes, idx, b, l, m, k
+                            )
+                    elif self.mixup_prob > 0.0:
+                        primary = self._load_group(group)
                         secondary = self._load_group(sec)
                         batch = self.augment_fn(primary, secondary, k)
                     else:
+                        primary = self._load_group(group)
                         batch = self.augment_fn(primary, k)
                     if self.device_put_fn is not None:
                         batch = self.device_put_fn(batch)

@@ -358,6 +358,7 @@ class Trainer:
                 fake_mode=bool(dcfg.get("fake_mode")),
                 device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
                 enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
+                device_cache=bool(dcfg.get("device_cache", False)),
             )
             return self._device_pipeline
         return Prefetcher(

@@ -74,3 +74,39 @@ def test_native_matches_reader_geometry(tmp_path):
     canvas, h, w = native_loader.decode_resize_pad(p.read_bytes(), S)
     assert (h, w) == (S, S)  # square source
     assert canvas.shape == (S, S, 3)
+
+
+def test_device_cache_mode_matches_shapes():
+    info = build_fake_manifest(num_images=16, num_classes=4, seed=0)
+    pipe = DeviceDataPipeline(
+        info,
+        target_size=S,
+        batch_size=4,
+        aug_params=AugParams(),
+        max_targets=40,
+        seed=0,
+        fake_mode=True,
+        device_cache=True,
+    )
+    batches = list(iter(pipe))
+    assert len(batches) == 4
+    b = batches[0]
+    assert b.images.shape == (4, S, S, 3)
+    assert np.isfinite(np.asarray(b.images, np.float32)).all()
+
+
+def test_device_cache_mixup():
+    info = build_fake_manifest(num_images=16, num_classes=4, seed=0)
+    pipe = DeviceDataPipeline(
+        info,
+        target_size=S,
+        batch_size=4,
+        aug_params=AugParams(),
+        max_targets=40,
+        seed=0,
+        fake_mode=True,
+        device_cache=True,
+        mixup_prob=1.0,
+    )
+    b = next(iter(pipe))
+    assert b.boxes.shape == (4, 40, 4)
