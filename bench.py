@@ -66,17 +66,25 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s"):
 
     for _ in range(warmup_steps):
         state, metrics = step(state, b)
-    jax.block_until_ready(state)
+    _ = np.asarray(jax.tree.leaves(state.params)[0])  # force real completion
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, b)
-    # block on the FULL updated state (params included) — blocking only on a
-    # scalar lets the async tunnel report completion early
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    def run(n):
+        nonlocal state, metrics
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, b)
+        # fetch real bytes: block_until_ready through remote-device tunnels
+        # reports completion early and over-states throughput severely
+        _ = np.asarray(jax.tree.leaves(state.params)[0])
+        return time.perf_counter() - t0
+
+    n1 = max(steps // 6, 3)
+    t1 = run(n1)
+    t2 = run(steps)
+    dt = (t2 - t1) / (steps - n1)  # slope: cancels fetch RTT
+    dt = max(dt, 1e-6)
     n_chips = jax.device_count()
-    return batch * steps / dt / n_chips, float(metrics.total)
+    return batch / dt / n_chips, float(metrics.total)
 
 
 def bench_nms(img=640, nc=10, batch=8, impl="xla"):
