@@ -297,6 +297,28 @@ def augment_hsv(
     return cv2.cvtColor(merged, cv2.COLOR_HSV2BGR)
 
 
+def random_color_transforms(
+    img: np.ndarray, rng: np.random.Generator, p: float = 0.01
+) -> np.ndarray:
+    """Blur / MedianBlur / ToGray / CLAHE, each with prob p (parity: the
+    reference's albumentations extras, default.py:420-431)."""
+    if rng.random() < p:  # Blur: random odd kernel 3..7
+        k = int(rng.choice([3, 5, 7]))
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:  # MedianBlur
+        k = int(rng.choice([3, 5]))
+        img = cv2.medianBlur(img, k)
+    if rng.random() < p:  # ToGray
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img = cv2.cvtColor(g, cv2.COLOR_GRAY2RGB)
+    if rng.random() < p:  # CLAHE on LAB L channel
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return img
+
+
 def horizontal_flip(sample: AugmentedSample) -> AugmentedSample:
     """(ref default.py:386-397 — mirror at width-1)."""
     image = np.fliplr(sample.image)
@@ -339,7 +361,10 @@ class TrainSampleAugmentor:
         if p.affine_params.should_aug():
             values = sample_affine_values(p.affine_params, self.rng)
             sample = random_perspective(sample, values, border)
-        img = augment_hsv(sample.image, p.hsv_params, self.rng)
+        img = sample.image
+        if p.image_color_transforms:
+            img = random_color_transforms(np.ascontiguousarray(img), self.rng)
+        img = augment_hsv(img, p.hsv_params, self.rng)
         sample = AugmentedSample(img, sample.bboxes, sample.labels)
         if p.flip_lr_prob > 0.0 and self.rng.random() < p.flip_lr_prob:
             sample = horizontal_flip(sample)

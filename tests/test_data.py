@@ -345,3 +345,16 @@ def test_train_augmentor_chain_runs():
     out = aug(s)
     assert out.image.shape[2] == 3
     assert out.image.dtype == np.uint8
+
+
+def test_color_transforms_run():
+    from object_detection_cib_tpu.data.host_augment import random_color_transforms
+
+    s = _sample_with_box(size=64)
+    rng = np.random.default_rng(0)
+    out = random_color_transforms(s.image.copy(), rng, p=1.0)  # force all 4
+    assert out.shape == s.image.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, s.image)
+    # p=0 -> identity
+    out0 = random_color_transforms(s.image.copy(), rng, p=0.0)
+    np.testing.assert_array_equal(out0, s.image)
