@@ -72,6 +72,73 @@ class ConvBnAct(nn.Module):
         return nn.silu(x)
 
 
+class SpaceToDepthStem(nn.Module):
+    """The YOLOv5 stem (6x6 stride-2 pad-2 conv) re-expressed exactly as a
+    3x3 stride-1 conv on 2x2 space-to-depth input — a mathematically
+    identical function of the SAME (6,6,3,C) parameter.
+
+    Why: a 3-input-channel conv leaves the 128-lane MXU almost idle and its
+    weight-gradient at 640x640 was the single most expensive op in the
+    profiled train step. With 12 input channels on a 4x smaller spatial
+    extent the same FLOPs map far better onto the hardware.
+
+    Derivation: y[p,q] = sum_{u,v} W[u,v] x[2p+u-2, 2q+v-2]; write
+    u = 2a_y + b_y + 2 (a in {-1,0,1}, b in {0,1}) and define
+    z[P,Q, b_y*6 + b_x*3 + c] = x[2P+b_y, 2Q+b_x, c]; then y is the 3x3
+    pad-1 conv of z with W'[a_y+1, a_x+1, (b_y,b_x,c)] = W[2a_y+b_y+2, ...].
+
+    Parameter tree matches ConvBnAct's stem exactly
+    (stem/conv/kernel (6,6,3,C) + stem/bn/...), so checkpoints are
+    interchangeable with the direct-conv stem.
+    """
+
+    features: int
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.03
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    class _Conv(nn.Module):
+        features: int
+        dtype: Optional[jnp.dtype] = None
+
+        @nn.compact
+        def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+            C = self.features
+            kernel = self.param(
+                "kernel", conv_kernel_init, (6, 6, 3, C), jnp.float32
+            )
+            # W' rearrangement: (u,v,c,C) -> (3,2,3,2,3,C) -> (i,j,by,bx,c,C)
+            kp = kernel.reshape(3, 2, 3, 2, 3, C).transpose(0, 2, 1, 3, 4, 5)
+            kp = kp.reshape(3, 3, 12, C)
+            b, h, w, _ = x.shape
+            z = x.reshape(b, h // 2, 2, w // 2, 2, 3)
+            z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+            if self.dtype is not None:
+                kp = kp.astype(self.dtype)
+                z = z.astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                z,
+                kp,
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self._Conv(self.features, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x)
+
+
 class CSPBlock(nn.Module):
     """1x1 -> 3x3 with optional residual (ref csp.py:16-58)."""
 

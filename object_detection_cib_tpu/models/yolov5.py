@@ -26,6 +26,7 @@ from flax import linen as nn
 from object_detection_cib_tpu.models.layers import (
     ConvBnAct,
     CSPLayer,
+    SpaceToDepthStem,
     SPPFBottleneck,
     conv_kernel_init,
     torch_bias_init,
@@ -126,6 +127,7 @@ class Yolov5Backbone(nn.Module):
     deepen_factor: float = 1.0
     widen_factor: float = 1.0
     spp_kernel_sizes: int = 5
+    stem_space_to_depth: bool = True  # exact rewrite, MXU-friendlier
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -134,10 +136,18 @@ class Yolov5Backbone(nn.Module):
         md = partial(make_divisible, widen_factor=self.widen_factor)
         common = dict(axis_name=self.axis_name, dtype=self.dtype)
 
-        # stem: 6x6 stride 2 pad 2 (ref backbones/yolov5.py:102-110)
-        x = ConvBnAct(
-            md(self.stages[0].in_channels), 6, 2, padding=2, name="stem", **common
-        )(x, train)
+        # stem: 6x6 stride 2 pad 2 (ref backbones/yolov5.py:102-110) —
+        # executed as a 3x3 conv on space-to-depth input when enabled
+        # (identical function & params; see SpaceToDepthStem)
+        if self.stem_space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = SpaceToDepthStem(
+                md(self.stages[0].in_channels), name="stem", **common
+            )(x, train)
+        else:
+            x = ConvBnAct(
+                md(self.stages[0].in_channels), 6, 2, padding=2, name="stem",
+                **common,
+            )(x, train)
 
         outs = []
         for idx, cfg in enumerate(self.stages):
