@@ -127,7 +127,10 @@ class Yolov5Backbone(nn.Module):
     deepen_factor: float = 1.0
     widen_factor: float = 1.0
     spp_kernel_sizes: int = 5
-    stem_space_to_depth: bool = True  # exact rewrite, MXU-friendlier
+    # Exact 3x3-on-space-to-depth rewrite of the stem. Measured neutral on
+    # v5e (XLA's conv canonicalization already performs the equivalent
+    # transform internally); kept as an option + equivalence tests.
+    stem_space_to_depth: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
