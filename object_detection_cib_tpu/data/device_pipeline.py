@@ -335,10 +335,22 @@ class DeviceDataPipeline:
     # -------------------------- epoch iterator --------------------------
     def __iter__(self) -> Iterator[Batch]:
         if self.sampler is not None:
-            epoch_idx = list(np.asarray(self.sampler.epoch_indices()))
+            epoch_idx = np.asarray(self.sampler.epoch_indices())
         else:
-            epoch_idx = list(np.random.default_rng(self.pyrng.randrange(2**31))
-                             .permutation(len(self.info.samples)))
+            epoch_idx = np.random.default_rng(
+                self.pyrng.randrange(2**31)
+            ).permutation(len(self.info.samples))
+        # multi-host: each process feeds its interleaved shard of the global
+        # epoch stream (DistributedSampler analog; parallel/distributed.py)
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from object_detection_cib_tpu.data.samplers import shard_indices
+
+            epoch_idx = shard_indices(
+                epoch_idx, _jax.process_index(), _jax.process_count()
+            )
+        epoch_idx = list(epoch_idx)
         n_batches = len(epoch_idx) // self.B
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 

@@ -110,3 +110,22 @@ def test_device_cache_mixup():
     )
     b = next(iter(pipe))
     assert b.boxes.shape == (4, 40, 4)
+
+
+def test_native_corrupt_jpeg_accounting():
+    from object_detection_cib_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native lib missing")
+    good = None
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(buf, "JPEG")
+    good = buf.getvalue()
+    bad = b"not a jpeg at all"
+    canv, sizes, fails = native_loader.pack_batch([good, bad, good], 64)
+    assert fails == 1
+    assert tuple(sizes[1]) == (0, 0)  # failed slot zeroed
+    assert sizes[0][0] > 0
