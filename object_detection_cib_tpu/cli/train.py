@@ -24,6 +24,13 @@ def main(argv=None):
     if argv and argv[0].startswith("--config-dir="):
         config_dir = Path(argv.pop(0).split("=", 1)[1])
     cfg = compose(config_dir, "train", argv)
+    if cfg.get("print_config", True):
+        # startup config tree (parity: kod/lightning/hydra_utils/rich.py)
+        import yaml
+
+        print("── config " + "─" * 50)
+        print(yaml.safe_dump(cfg, default_flow_style=False, sort_keys=False))
+        print("─" * 60, flush=True)
     # task wrapper: log exceptions to the run dir before re-raising
     # (parity: kod/lightning/hydra_utils/misc.py:53-105)
     try:
