@@ -24,6 +24,9 @@ GOLDEN_PARAM_COUNTS = {
     ("n", 10): 1_777_447,
     ("s", 80): 7_235_389,
     ("s", 10): 7_046_599,
+    # m/l match upstream YOLOv5 (21.2M / 46.5M)
+    ("m", 80): 21_190_557,
+    ("l", 80): 46_563_709,
 }
 
 
