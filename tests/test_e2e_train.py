@@ -86,6 +86,16 @@ def test_device_pipeline_through_trainer(tmp_path):
     assert "map" in metrics
 
 
+def test_predict_path(tmp_path):
+    cfg = _cfg(tmp_path, "train=False", "+predict=True")
+    train(cfg)
+    import json
+
+    preds = json.loads((tmp_path / "run/predictions.json").read_text())
+    assert isinstance(preds, list) and len(preds) > 0
+    assert set(preds[0]) == {"boxes", "scores", "classes"}
+
+
 def test_trainer_exposes_components(tmp_path):
     t = Trainer(_cfg(tmp_path))
     assert t.net.num_classes == len(t.classes)
