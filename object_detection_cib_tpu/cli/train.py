@@ -13,6 +13,10 @@ import sys
 from pathlib import Path
 
 from object_detection_cib_tpu.config import compose
+from object_detection_cib_tpu.parallel.distributed import (
+    is_main_process,
+    maybe_initialize_from_env,
+)
 from object_detection_cib_tpu.train.trainer import train
 
 DEFAULT_CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
@@ -23,8 +27,11 @@ def main(argv=None):
     config_dir = DEFAULT_CONFIG_DIR
     if argv and argv[0].startswith("--config-dir="):
         config_dir = Path(argv.pop(0).split("=", 1)[1])
+    # join a multi-host pod before any jax.devices() call if the coordinator
+    # env vars are set (parity: kod/configs/trainer/ddp.yaml via Lightning)
+    maybe_initialize_from_env()
     cfg = compose(config_dir, "train", argv)
-    if cfg.get("print_config", True):
+    if cfg.get("print_config", True) and is_main_process():
         # startup config tree (parity: kod/lightning/hydra_utils/rich.py)
         import yaml
 
@@ -38,9 +45,10 @@ def main(argv=None):
     except Exception:
         import traceback
 
-        out_dir = Path(cfg.get("paths", {}).get("output_dir", "."))
-        out_dir.mkdir(parents=True, exist_ok=True)
-        (out_dir / "error.log").write_text(traceback.format_exc())
+        if is_main_process():
+            out_dir = Path(cfg.get("paths", {}).get("output_dir", "."))
+            out_dir.mkdir(parents=True, exist_ok=True)
+            (out_dir / "error.log").write_text(traceback.format_exc())
         raise
 
 

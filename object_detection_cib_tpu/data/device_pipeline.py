@@ -80,7 +80,8 @@ def build_device_augment_fn(
             s = flip_batch(s, k_f, aug.flip_lr_prob)
         return s
 
-    def to_batch(s: DeviceSample) -> Batch:
+    def to_batch(s: DeviceSample):
+        """-> (Batch, int32 count of valid targets dropped by capacity)."""
         T = s.boxes.shape[1]
         if T > max_targets:
             # keep valid slots first, then truncate to capacity
@@ -88,12 +89,14 @@ def build_device_augment_fn(
             boxes = jnp.take_along_axis(s.boxes, order[..., None], axis=1)
             labels = jnp.take_along_axis(s.labels, order, axis=1)
             mask = jnp.take_along_axis(s.mask, order, axis=1)
+            overflow = s.mask.sum() - mask.sum()
         else:
             pad = max_targets - T
             boxes = jnp.pad(s.boxes, ((0, 0), (0, pad), (0, 0)))
             labels = jnp.pad(s.labels, ((0, 0), (0, pad)))
             mask = jnp.pad(s.mask, ((0, 0), (0, pad)))
-        return Batch(
+            overflow = jnp.zeros((), jnp.int32)
+        batch = Batch(
             # bf16 feed: the network computes in bf16 anyway; halves the
             # host->device transfer and avoids an on-device convert+relayout
             images=(s.images / 255.0).astype(jnp.bfloat16),
@@ -101,6 +104,7 @@ def build_device_augment_fn(
             labels=jnp.where(mask, labels, 0),
             mask=mask,
         )
+        return batch, overflow.astype(jnp.int32)
 
     if mixup_prob > 0.0:
 
@@ -167,6 +171,10 @@ class DeviceDataPipeline:
             target_size, aug_params, mixup_prob, max_targets
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
+        # capacity-overflow accounting: device scalars accumulated async per
+        # batch, fetched in one stacked transfer when overflow_total is read
+        self._overflow_done = 0
+        self._overflow_pending: list = []
         # per-source-image target capacity before mosaic merge
         self.src_T = max(
             max((len(s.targets) for s in dataset_info.samples), default=1), 1
@@ -188,6 +196,14 @@ class DeviceDataPipeline:
 
     def __len__(self) -> int:
         return len(self.info.samples) // self.B
+
+    @property
+    def overflow_total(self) -> int:
+        """Total valid targets dropped by max_targets so far (one fetch)."""
+        if self._overflow_pending:
+            pending, self._overflow_pending = self._overflow_pending, []
+            self._overflow_done += int(np.asarray(jnp.stack(pending)).sum())
+        return self._overflow_done
 
     # -------------------- HBM-resident dataset mode --------------------
     def _build_device_cache(self):
@@ -375,21 +391,22 @@ class DeviceDataPipeline:
                         if self.mixup_prob > 0.0:
                             idx2 = jnp.asarray(sec, jnp.int32)
                             b2, l2, m2 = self._group_targets(sec)
-                            batch = self._gather_augment(
+                            batch, ovf = self._gather_augment(
                                 self._ds_images, self._ds_sizes, idx, b, l, m,
                                 idx2, b2, l2, m2, k,
                             )
                         else:
-                            batch = self._gather_augment(
+                            batch, ovf = self._gather_augment(
                                 self._ds_images, self._ds_sizes, idx, b, l, m, k
                             )
                     elif self.mixup_prob > 0.0:
                         primary = self._load_group(group)
                         secondary = self._load_group(sec)
-                        batch = self.augment_fn(primary, secondary, k)
+                        batch, ovf = self.augment_fn(primary, secondary, k)
                     else:
                         primary = self._load_group(group)
-                        batch = self.augment_fn(primary, k)
+                        batch, ovf = self.augment_fn(primary, k)
+                    self._overflow_pending.append(ovf)
                     if self.device_put_fn is not None:
                         batch = self.device_put_fn(batch)
                     q.put(batch)

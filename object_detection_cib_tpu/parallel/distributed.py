@@ -11,6 +11,9 @@ DistributedSampler).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 
 
@@ -27,6 +30,50 @@ def initialize_multihost(
         return True
     except (ValueError, RuntimeError):
         return False
+
+
+def maybe_initialize_from_env() -> bool:
+    """Join a pod if the standard coordinator env vars are present.
+
+    Mirrors how torch.distributed picks up MASTER_ADDR/RANK/WORLD_SIZE for
+    the reference's `trainer=ddp` preset; here the spellings are JAX's
+    (also honored natively by `jax.distributed.initialize()` on TPU pods):
+    KOD_COORDINATOR_ADDRESS / KOD_NUM_PROCESSES / KOD_PROCESS_ID.
+    """
+    addr = os.environ.get("KOD_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    return initialize_multihost(
+        coordinator_address=addr,
+        num_processes=int(os.environ["KOD_NUM_PROCESSES"]),
+        process_id=int(os.environ["KOD_PROCESS_ID"]),
+    )
+
+
+def is_main_process() -> bool:
+    """True on process 0 (the rank-zero guard for logs/artifacts)."""
+    return jax.process_index() == 0
+
+
+def rank_zero_only(fn):
+    """Run `fn` only on process 0 (parity: kod/lightning/logger.py:10-32).
+
+    Returns None on other processes.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if is_main_process():
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapped
+
+
+@rank_zero_only
+def rank_zero_print(*args, **kwargs):
+    kwargs.setdefault("flush", True)
+    print(*args, **kwargs)
 
 
 def host_info():

@@ -52,9 +52,14 @@ class CheckpointManager:
         if better:
             self.best_value = float(value)
             self._save("best", state)
-            self._meta_path.write_text(
-                json.dumps({"best_value": self.best_value, "monitor": self.monitor})
-            )
+            # orbax coordinates the array save across hosts; the sidecar
+            # metadata is a plain file -> write once (process 0)
+            if jax.process_index() == 0:
+                self._meta_path.write_text(
+                    json.dumps(
+                        {"best_value": self.best_value, "monitor": self.monitor}
+                    )
+                )
         return better
 
     def restore(self, state_like: TrainState, name: str = "last") -> TrainState:

@@ -99,11 +99,20 @@ def _level_losses(
     s, gy, gx, a = assign.sample_idx, assign.grid_y, assign.grid_x, assign.anchor_idx
     valid = assign.valid.astype(jnp.float32)
     K = s.shape[0]
-    rows = raw[s, gy, gx].astype(jnp.float32)  # (K, A*(5+nc)) gather
-    rng = jnp.arange(K)
+    # One row-gather in the map's native dtype; anchor selection below is a
+    # one-hot multiply-sum over the tiny static A axis instead of a second
+    # gather: multiplying by exact 0/1 and summing a single survivor is exact
+    # in bf16, and the backward is a broadcast — the [rng, a] gather's
+    # backward was a K-sized scatter-add per use (profiled at ~30% of the
+    # whole train step at B=128).
+    rows = raw[s, gy, gx]  # (K, A*(5+nc)) gather, bf16
+    sel = jax.nn.one_hot(a, A, dtype=rows.dtype)  # (K, A) exact 0/1
+
+    def pick(x):  # (K, A, C) -> (K, C) fp32 anchor select
+        return (x * sel[:, :, None]).sum(axis=1).astype(jnp.float32)
 
     # --- localization (ref loss.py:65-98)
-    p = rows[:, : A * 4].reshape(K, A, 4)[rng, a]  # (K, 4)
+    p = pick(rows[:, : A * 4].reshape(K, A, 4))  # (K, 4)
     pred_xy = jax.nn.sigmoid(p[:, 0:2]) * 2.0 - 0.5
     pred_wh = (jax.nn.sigmoid(p[:, 2:4]) * 2.0) ** 2 * assign.anchors_wh
     pred_xyxy = cxcywh_to_xyxy(jnp.concatenate([pred_xy, pred_wh], axis=-1))
@@ -121,7 +130,7 @@ def _level_losses(
     # a rare, bounded deviation.)
     iou_t = jax.lax.stop_gradient(jnp.clip(iou, 0.0))
     obj_map = raw[..., A * 4 : A * 5]  # (B, H, W, A) lane slice, bf16-safe
-    matched_x = rows[:, A * 4 : A * 5][rng, a]  # (K,)
+    matched_x = (rows[:, A * 4 : A * 5] * sel).sum(axis=1).astype(jnp.float32)
     n_cells = B * H * W * A
     obj_loss = (
         jax.nn.softplus(obj_map.astype(jnp.float32)).sum()
@@ -129,7 +138,7 @@ def _level_losses(
     ) / n_cells
 
     # --- classification (ref loss.py:128-164)
-    pc = rows[:, A * 5 :].reshape(K, A, nc)[rng, a]  # (K, nc)
+    pc = pick(rows[:, A * 5 :].reshape(K, A, nc))  # (K, nc)
     one_hot = jax.nn.one_hot(assign.labels, nc, dtype=jnp.float32)
     cls_el = bce_with_logits(pc, one_hot, pos_weight=class_weights)  # (K, nc)
     # reference mean over (matches x classes); masked rows excluded

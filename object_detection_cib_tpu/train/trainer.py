@@ -43,6 +43,10 @@ from object_detection_cib_tpu.data.synthetic import (
     build_synthetic_dataset,
 )
 from object_detection_cib_tpu.eval.coco_map import MeanAveragePrecisionEvaluator
+from object_detection_cib_tpu.parallel.distributed import (
+    is_main_process,
+    rank_zero_print,
+)
 from object_detection_cib_tpu.parallel.mesh import make_mesh, shard_batch_pytree
 from object_detection_cib_tpu.train.checkpoint import (
     CheckpointManager,
@@ -284,7 +288,7 @@ class Trainer:
         self.loggers = build_loggers(cfg.get("logger"))
         self.progress = ProgressTable(
             interval=int(cfg.get("progress_interval", 20)),
-            enabled=True,
+            enabled=is_main_process(),
         )
         cb = (cfg.get("callbacks") or {}).get("model_checkpoint") or {}
         self.ckpt = CheckpointManager(
@@ -302,29 +306,29 @@ class Trainer:
         # hyperparameter/param-count logging
         # (parity: kod/lightning/hydra_utils/logging.py:18-64)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
-        print(
+        rank_zero_print(
             f"model: yolov5 widen={self.net.widen_factor} "
             f"deepen={self.net.deepen_factor} nc={nc} params={n_params:,} | "
             f"mesh={dict(zip(('data','model'), self.mesh.devices.shape))} | "
             f"dataset={name} train={len(self.train_info.samples) if self.train_info else 0} "
             f"val={len(self.val_info.samples)}",
-            flush=True,
         )
-        (out_dir / "hparams.json").write_text(
-            json.dumps(
-                {
-                    "num_params": n_params,
-                    "num_classes": nc,
-                    "widen_factor": self.net.widen_factor,
-                    "deepen_factor": self.net.deepen_factor,
-                    "batch_size": self.batch_size,
-                    "image_size": img,
-                    "steps_per_epoch": steps_per_epoch,
-                    "dataset": name,
-                },
-                indent=2,
+        if is_main_process():
+            (out_dir / "hparams.json").write_text(
+                json.dumps(
+                    {
+                        "num_params": n_params,
+                        "num_classes": nc,
+                        "widen_factor": self.net.widen_factor,
+                        "deepen_factor": self.net.deepen_factor,
+                        "batch_size": self.batch_size,
+                        "image_size": img,
+                        "steps_per_epoch": steps_per_epoch,
+                        "dataset": name,
+                    },
+                    indent=2,
+                )
             )
-        )
 
         if cfg.get("ckpt_path"):
             self.state = restore_checkpoint(cfg["ckpt_path"], self.state)
@@ -419,6 +423,8 @@ class Trainer:
 
     def _print_map_table(self, metrics: Dict[str, float]):
         """mAP summary table (parity: ref pycoco_map_eval.py:108-138)."""
+        if not is_main_process():
+            return
         try:
             from rich.console import Console
             from rich.table import Table
@@ -477,6 +483,7 @@ class Trainer:
             elif limit:
                 n_batches = max(int(n_batches * float(limit)), 1)
 
+            overflow_base = getattr(batches, "overflow_total", 0)
             for bi, batch in enumerate(batches):
                 if bi >= n_batches:
                     break
@@ -504,14 +511,24 @@ class Trainer:
             dt = time.time() - epoch_t0
             ips = n_images / max(dt, 1e-9)
 
+            # target-capacity overflow accounting: samples whose padded
+            # target slots ran out this epoch (the reference drops nothing;
+            # we surface the drop count instead of silently truncating)
+            dropped = getattr(batches, "overflow_total", 0) - overflow_base
+            if dropped:
+                rank_zero_print(
+                    f"[epoch {epoch}] WARNING: {dropped} targets dropped by "
+                    f"max_targets={self.max_targets} capacity this epoch"
+                )
+                self._log({"targets_dropped": float(dropped)}, global_step)
+
             if (epoch + 1) % val_every == 0 or fdr:
                 last_val = self.validate()
                 last_val["images_per_sec"] = ips
                 self._log(last_val, global_step)
-                print(
+                rank_zero_print(
                     f"[epoch {epoch}] map={last_val.get('map', 0):.4f} "
                     f"map50={last_val.get('map50', 0):.4f} ips={ips:.1f}",
-                    flush=True,
                 )
                 self.ckpt.maybe_save_best(self.state, last_val)
                 if self.es_patience:
