@@ -3,7 +3,8 @@
 Capability parity: kod/core/label_assignment/yv5.py:45-319, re-expressed for
 XLA. The reference pipeline is ragged (boolean-mask filtering changes shapes
 at yv5.py:160-176 and 178-205); here every step runs at static capacity
-``B x T x A x 5`` (batch x max-targets x anchors x offset-candidates) with a
+``B x T x A x n_off`` (batch x max-targets x anchors x offset-candidates,
+n_off=3 compacted / 5 reference-table) with a
 validity mask carried instead of filtering:
 
   1. batched targets: per-image GT -> cxcywh / stride     (ref yv5.py:68-121)
@@ -33,11 +34,11 @@ _OFFSETS = np.asarray(
     [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]], np.float32
 )
 _OFF_BIAS = 0.5
-NUM_OFFSETS = 5
+NUM_OFFSETS = 3  # default capacity: compacted (see _assign_level)
 
 
 class LevelAssignment(NamedTuple):
-    """Per-level assignment at capacity K = B*T*A*5, flattened.
+    """Per-level assignment at capacity K = B*T*A*n_off, flattened.
 
     Index arrays address the head output laid out (B, H, W, A, p) — the
     TPU-native NHWC layout (reference gathers on (B, A, H, W, p)).
@@ -70,6 +71,7 @@ def _assign_level(
     stride: int,
     image_shape: FeatureShape,
     threshold: float,
+    offset_capacity: int = 3,
 ) -> LevelAssignment:
     B, T, _ = boxes_xyxy.shape
     A = anchors_px.shape[0]
@@ -91,34 +93,59 @@ def _assign_level(
     worst = jnp.maximum(ratio, 1.0 / ratio).max(axis=-1)
     anchor_ok = (worst < threshold) & mask[:, :, None]
 
-    # 3. neighbour-cell candidates (B, T, 5) — independent of anchor.
+    # 3. neighbour-cell candidates — independent of anchor.
     gx, gy = cxcy[..., 0], cxcy[..., 1]
     inv_x, inv_y = grid_w - gx, grid_h - gy
     j = (gx % 1.0 < _OFF_BIAS) & (gx > 1.0)
     k = (gy % 1.0 < _OFF_BIAS) & (gy > 1.0)
     l = (inv_x % 1.0 < _OFF_BIAS) & (inv_x > 1.0)
     m = (inv_y % 1.0 < _OFF_BIAS) & (inv_y > 1.0)
-    off_ok = jnp.stack([jnp.ones_like(j), j, k, l, m], axis=-1)  # (B,T,5)
 
-    offsets = jnp.asarray(_OFFSETS * _OFF_BIAS)  # (5, 2)
+    n_off = offset_capacity
+    if offset_capacity == 3:
+        # Compacted candidate slots: (center, x-neighbour, y-neighbour).
+        # j/l (and k/m) are mutually exclusive except when the coordinate is
+        # an exact integer — there the reference's 5-slot table emits BOTH,
+        # but the l/m candidate cell floor(g + 0.5) == floor(g) duplicates
+        # the center match; the compact form keeps j/k and drops that
+        # duplicate. Only deviation: one repeated loss term on
+        # measure-zero coordinates (see tests/test_assigner_fuzz.py).
+        off_x = jnp.where(j, _OFF_BIAS, -_OFF_BIAS)  # (B,T)
+        off_y = jnp.where(k, _OFF_BIAS, -_OFF_BIAS)
+        zeros = jnp.zeros_like(off_x)
+        offsets = jnp.stack(
+            [
+                jnp.stack([zeros, zeros], -1),
+                jnp.stack([off_x, zeros], -1),
+                jnp.stack([zeros, off_y], -1),
+            ],
+            axis=-2,
+        )  # (B, T, 3, 2)
+        off_ok = jnp.stack([jnp.ones_like(j), j | l, k | m], axis=-1)
+    else:
+        assert offset_capacity == 5
+        offsets = jnp.broadcast_to(
+            jnp.asarray(_OFFSETS * _OFF_BIAS), (B, T, 5, 2)
+        )
+        off_ok = jnp.stack([jnp.ones_like(j), j, k, l, m], axis=-1)
 
-    # combined validity (B, T, A, 5)
+    # combined validity (B, T, A, n_off)
     valid = anchor_ok[..., None] & off_ok[:, :, None, :]
 
     # gij = floor(cxcy - off); torch .long() truncates, but operands are >= 0
     # whenever the offset is valid, so floor is equivalent (ref yv5.py:281).
-    shifted = cxcy[:, :, None, None, :] - offsets[None, None, None, :, :]
-    gij = jnp.floor(shifted)  # (B,T,1,5,2) float
-    txy = cxcy[:, :, None, None, :] - gij  # cell-relative center
+    shifted = cxcy[:, :, None, :] - offsets  # (B,T,n_off,2)
+    gij = jnp.floor(shifted)
+    txy = (cxcy[:, :, None, :] - gij)[:, :, None, :, :]  # (B,T,1,n_off,2)
     gij = gij.astype(jnp.int32)
-    gi = jnp.clip(gij[..., 0], 0, out_w - 1)
-    gj = jnp.clip(gij[..., 1], 0, out_h - 1)
+    gi = jnp.clip(gij[..., 0], 0, out_w - 1)[:, :, None, :]
+    gj = jnp.clip(gij[..., 1], 0, out_h - 1)[:, :, None, :]
 
-    # broadcast everything to (B, T, A, 5) and flatten
+    # broadcast everything to (B, T, A, n_off) and flatten
     def bc(x, extra_dims=()):
-        return jnp.broadcast_to(x, (B, T, A, NUM_OFFSETS) + extra_dims)
+        return jnp.broadcast_to(x, (B, T, A, n_off) + extra_dims)
 
-    K = B * T * A * NUM_OFFSETS
+    K = B * T * A * n_off
     sample_idx = bc(
         jnp.arange(B, dtype=jnp.int32)[:, None, None, None]
     ).reshape(K)
@@ -164,6 +191,7 @@ def assign_targets(
     image_shape: FeatureShape,
     anchors: LevelAnchors,
     threshold: float = 4.0,
+    offset_capacity: int = 3,
 ) -> Assignment:
     """Assign padded GT to the three pyramid levels (jittable, static shapes).
 
@@ -186,6 +214,7 @@ def assign_targets(
                 info.stride,
                 image_shape,
                 threshold,
+                offset_capacity,
             )
         )
     return Assignment(*per_level)

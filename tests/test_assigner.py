@@ -143,6 +143,6 @@ def test_jit_and_shapes_static():
     )
     boxes = jnp.zeros((2, 7, 4))
     res = f(boxes, jnp.zeros((2, 7), jnp.int32), jnp.zeros((2, 7), bool))
-    K = 2 * 7 * 1 * 5
+    K = 2 * 7 * 1 * 3  # default offset capacity is the compacted 3-slot form
     assert res.ll.sample_idx.shape == (K,)
     assert res.ll.txywh.shape == (K, 4)
