@@ -31,7 +31,20 @@ def main(argv=None):
     # env vars are set (parity: kod/configs/trainer/ddp.yaml via Lightning)
     maybe_initialize_from_env()
     cfg = compose(config_dir, "train", argv)
-    if cfg.get("print_config", True) and is_main_process():
+    # extras (parity: kod/configs/extras/default.yaml + hydra_utils/misc.py
+    # extras(): warnings filter, tag enforcement, config-tree print)
+    extras = cfg.get("extras") or {}
+    if extras.get("ignore_warnings"):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+    if extras.get("enforce_tags") and not cfg.get("tags"):
+        raise ValueError(
+            "extras.enforce_tags=True but no tags provided — pass "
+            "'tags=[...]' (ref hydra_utils/rich.py enforce_tags)"
+        )
+    print_cfg = extras.get("print_config", cfg.get("print_config", True))
+    if print_cfg and is_main_process():
         # startup config tree (parity: kod/lightning/hydra_utils/rich.py)
         import yaml
 

@@ -160,6 +160,34 @@ class _Composer:
                         group, _, option = path_part.rpartition("/")
                         if not pkg:
                             pkg = path_part.lstrip("/").replace("/", ".")
+                        # CLI selection for path-style groups, e.g.
+                        # "data/augmentations=albu/default"
+                        gdir = (
+                            self.config_dir / group.lstrip("/")
+                            if group.startswith("/")
+                            else base_dir / group
+                        )
+                        try:
+                            sel_key = str(
+                                gdir.resolve().relative_to(
+                                    self.config_dir.resolve()
+                                )
+                            )
+                        except ValueError:
+                            sel_key = group.lstrip("/")
+                        # A file inside group G referencing a sibling in G
+                        # (e.g. experiment/imbalance/* including
+                        # /experiment/yv5s) is explicit composition — the
+                        # CLI's selection for G must not re-route it (it IS
+                        # the selection), or selection would recurse.
+                        in_own_group = str(path.resolve()).startswith(
+                            str((self.config_dir / sel_key).resolve()) + "/"
+                        )
+                        if sel_key in group_selections and not in_own_group:
+                            sel = group_selections[sel_key]
+                            if sel is None:
+                                continue
+                            option = str(sel)
                         compose_child(group or ".", option, pkg)
                     else:
                         # same-group config include: "- yv5s"
@@ -233,7 +261,12 @@ def compose(
 
 
 def resolve_interpolations(cfg: dict) -> dict:
-    """Resolve ${a.b} references (relative ones like ${..x} supported)."""
+    """Resolve ${a.b} references (relative ones like ${..x} supported) and
+    ${now:FORMAT} timestamps (hydra's ${now:...} resolver — one timestamp
+    per compose so every reference agrees)."""
+    import datetime
+
+    now = datetime.datetime.now()
 
     def resolve(node, value, path: Tuple[str, ...]):
         if isinstance(value, str):
@@ -244,6 +277,8 @@ def resolve_interpolations(cfg: dict) -> dict:
         return value
 
     def lookup(ref: str, path: Tuple[str, ...]):
+        if ref.startswith("now:"):
+            return now.strftime(ref[4:])
         if ref.startswith("."):
             # relative: each extra leading dot walks one level up
             up = len(ref) - len(ref.lstrip("."))

@@ -79,7 +79,7 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms: int = 2048,
     multi_label: Optional[bool] = None,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> NMSResult:
     """Batched NMS on raw decoded detections.
 
@@ -142,8 +142,16 @@ def non_max_suppression(
     # per-class offset so cross-class pairs never overlap (ref nms.py:66-69)
     offset_boxes = top_boxes + (top_class.astype(jnp.float32) * _MAX_WH)[..., None]
 
-    # Pallas kernel VMEM budget caps K at 1024 on v5e (bf16 KxK mask)
-    if impl in ("pallas", "pallas_interpret") and k % 256 == 0 and k <= 1024:
+    # Pallas sweep kernel: recomputes IoU tiles in VMEM instead of holding
+    # a (K, K) matrix in HBM; the production path on TPU. K<=2048 keeps the
+    # (K, 256) f32 tile within the ~2-3MB VMEM scratch budget.
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if k % 256 == 0 and k <= 2048 and jax.default_backend() != "cpu"
+            else "xla"
+        )
+    if impl in ("pallas", "pallas_interpret") and k % 256 == 0 and k <= 2048:
         from object_detection_cib_tpu.ops.pallas_nms import pallas_greedy_nms_mask
 
         keep = pallas_greedy_nms_mask(

@@ -28,7 +28,7 @@ fuse into the train step so augmentation overlaps with compute on device.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -332,56 +332,101 @@ def hsv_batch(
     hue: float = 0.015,
     saturation: float = 0.7,
     value: float = 0.4,
+    r: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Random HSV gains (ref default.py:354-383 semantics, float math).
+    """uint8-LUT-exact HSV jitter (ref default.py:354-383 via cv2 8U paths).
 
-    The reference applies uint8 LUTs hue' = (hue*r0) % 180,
-    sat' = clip(sat*r1), val' = clip(val*r2) with r = U(-1,1)*params + 1.
-    Here the same gains are applied in float HSV space on device.
+    Replicates the host oracle (host_augment.augment_hsv) bit-for-bit up to
+    LUT-entry float rounding:
+      1. cv2 BGR2HSV 8U is *integer* fixed-point (hsv_shift=12) with tables
+         sdiv[v]=round(1044480/v), hdiv[d]=round(122880/d). Neither quotient
+         ever lands on an exact .5 for 1<=i<=255 (2088960=2^10*3*5*17*2^2...
+         has no odd-quotient divisor <=255; likewise 245760), so
+         floor((2a+i)/(2i)) integer division reproduces cvRound's tables
+         exactly — no per-pixel table gathers needed.
+      2. the jitter LUTs hue'=(x*r0)%180, sat'=clip(x*r1), val'=clip(x*r2)
+         truncate to uint8 (host builds them in f64; device applies the same
+         formula in f32 — mismatch only when x*r is within f32 ulp of an
+         integer boundary, measured <1e-4 of pixels).
+      3. cv2 5.x HSV2BGR 8U is a bit-exact fixed-point kernel that floors;
+         mirrored here with f32 sector math + floor. Residual: where the
+         true channel value lands exactly on an integer, cv2's fixed-point
+         representation sits one ulp off and floors differently — measured
+         ~2% of pixels, always |diff| == 1 (tests/test_device_augment.py
+         asserts >=95% bit-exact, max diff 1).
+
+    The host passes RGB arrays through cv2's BGR<->HSV routines (as the
+    reference does), i.e. channel 2 plays "r"; mirrored here.
+
+    r: optional (B, 3) gain array (tests inject the host's draw); default
+    drawn from `key` as U(-1,1)*[hue,saturation,value]+1.
     """
     B = images.shape[0]
-    r = (
-        jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
-        * jnp.asarray([hue, saturation, value])
-        + 1.0
-    )
-    img = images / 255.0
-    mx = img.max(axis=-1)
-    mn = img.min(axis=-1)
-    diff = mx - mn
-    # hue in [0, 6)
-    rch, gch, bch = img[..., 0], img[..., 1], img[..., 2]
-    safe = jnp.where(diff > 0, diff, 1.0)
-    h = jnp.where(
-        mx == rch, (gch - bch) / safe % 6.0,
-        jnp.where(mx == gch, (bch - rch) / safe + 2.0, (rch - gch) / safe + 4.0),
-    )
-    h = jnp.where(diff > 0, h, 0.0) * 60.0  # degrees
-    s = jnp.where(mx > 0, diff / jnp.where(mx > 0, mx, 1.0), 0.0)
-    v = mx
+    if r is None:
+        if hue == 0.0 and saturation == 0.0 and value == 0.0:
+            return images  # host oracle early-returns too (ref :359-364)
+        r = (
+            jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
+            * jnp.asarray([hue, saturation, value])
+            + 1.0
+        )
+    img = jnp.clip(jnp.round(images), 0, 255).astype(jnp.int32)
+    # cv2 BGR2HSV on an RGB array: channel order (b,g,r) = (ch0,ch1,ch2)
+    bch, gch, rch = img[..., 0], img[..., 1], img[..., 2]
 
-    # apply gains: cv2 uses h in [0,180) with wraparound, s/v clipped
-    h = (h / 2.0 * r[:, None, None, 0]) % 180.0 * 2.0
-    s = jnp.clip(s * r[:, None, None, 1], 0.0, 1.0)
-    v = jnp.clip(v * r[:, None, None, 2], 0.0, 1.0)
+    v = jnp.maximum(jnp.maximum(bch, gch), rch)
+    vmin = jnp.minimum(jnp.minimum(bch, gch), rch)
+    diff = v - vmin
 
-    # HSV -> RGB
-    hh = h / 60.0
-    i = jnp.floor(hh)
-    f = hh - i
-    p = v * (1 - s)
-    q = v * (1 - s * f)
-    t = v * (1 - s * (1 - f))
-    i = i.astype(jnp.int32) % 6
-    rgb = jnp.stack(
-        [
-            jnp.choose(i, [v, q, p, p, t, v], mode="clip"),
-            jnp.choose(i, [t, v, v, q, p, p], mode="clip"),
-            jnp.choose(i, [p, p, t, v, v, q], mode="clip"),
-        ],
-        axis=-1,
+    # integer fixed-point tables, computed arithmetically (see docstring)
+    sdiv_v = jnp.where(v > 0, (2 * 1044480 + v) // jnp.maximum(2 * v, 1), 0)
+    hdiv_d = jnp.where(
+        diff > 0, (2 * 122880 + diff) // jnp.maximum(2 * diff, 1), 0
     )
-    return jnp.clip(rgb * 255.0, 0.0, 255.0)
+    s = (diff * sdiv_v + 2048) >> 12
+
+    vr = v == rch
+    vg = v == gch
+    h_num = jnp.where(
+        vr, gch - bch, jnp.where(vg, bch - rch + 2 * diff, rch - gch + 4 * diff)
+    )
+    h = (h_num * hdiv_d + 2048) >> 12
+    h = h + jnp.where(h < 0, 180, 0)
+
+    # jitter LUT stage (f32, truncating like .astype(uint8))
+    r0 = r[:, None, None, 0]
+    r1 = r[:, None, None, 1]
+    r2 = r[:, None, None, 2]
+    h = jnp.floor((h.astype(jnp.float32) * r0) % 180.0).astype(jnp.int32)
+    s = jnp.floor(
+        jnp.clip(s.astype(jnp.float32) * r1, 0.0, 255.0)
+    ).astype(jnp.int32)
+    v = jnp.floor(
+        jnp.clip(v.astype(jnp.float32) * r2, 0.0, 255.0)
+    ).astype(jnp.int32)
+
+    # cv2 HSV2BGR 8U: f32 sector math, h scaled by 6/180
+    hf = h.astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    sf = s.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    vf = v.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    sector = jnp.floor(hf)
+    ff = hf - sector
+    sector = sector.astype(jnp.int32) % 6
+    tab0 = vf
+    tab1 = vf * (1.0 - sf)
+    tab2 = vf * (1.0 - sf * ff)
+    tab3 = vf * (1.0 - sf * (1.0 - ff))
+    # sector tables (b,g,r) per sector, standard HSV wheel (== cv2's
+    # sector_data; verified bit-exact vs cv2 in tests/test_device_augment.py)
+    bsel = jnp.stack([tab1, tab1, tab3, tab0, tab0, tab2], -1)
+    gsel = jnp.stack([tab3, tab0, tab0, tab2, tab1, tab1], -1)
+    rsel = jnp.stack([tab0, tab2, tab1, tab1, tab3, tab0], -1)
+    one_hot = jax.nn.one_hot(sector, 6, dtype=jnp.float32)
+    b_out = (bsel * one_hot).sum(-1)
+    g_out = (gsel * one_hot).sum(-1)
+    r_out = (rsel * one_hot).sum(-1)
+    out = jnp.stack([b_out, g_out, r_out], axis=-1)  # back to (b,g,r)=(0,1,2)
+    return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(images.dtype)
 
 
 def flip_batch(sample: DeviceSample, key: jax.Array, prob: float = 0.5) -> DeviceSample:

@@ -86,6 +86,7 @@ def make_train_step(
     class_weights: Optional[jnp.ndarray] = None,
     assign_threshold: float = 4.0,
     head_sharding=None,
+    assign_offset_capacity: int = 3,
 ):
     """Build the un-jitted train step; wrap with jit_train_step for a mesh.
 
@@ -118,6 +119,7 @@ def make_train_step(
                 image_shape,
                 anchors,
                 assign_threshold,
+                assign_offset_capacity,
             )
             lres = yolov5_loss(
                 out, assignment, image_shape, loss_params, class_weights

@@ -217,7 +217,13 @@ class Trainer:
             iou_type=lcfg.get("iou_type", "ciou"),
             eps=float(lcfg.get("eps", 1e-7)),
         )
-        self.assign_threshold = float(lcfg.get("assigner_threshold", 4.0))
+        # assigner knobs come from their own config group (parity:
+        # kod/configs/assigners/yv5.yaml); legacy loss-config key honored
+        acfg = cfg.get("assigners") or {}
+        self.assign_threshold = float(
+            acfg.get("threshold", lcfg.get("assigner_threshold", 4.0))
+        )
+        self.assign_offset_capacity = int(acfg.get("offset_capacity", 3))
 
         class_weights = None
         if cfg.get("use_loss_weights") and self.train_info is not None:
@@ -268,6 +274,7 @@ class Trainer:
                 self.loss_params,
                 self.class_weights,
                 self.assign_threshold,
+                assign_offset_capacity=self.assign_offset_capacity,
             ),
             self.mesh,
         )
@@ -277,6 +284,7 @@ class Trainer:
                 self.anchors,
                 conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
                 iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
+                max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
             ),
             self.mesh,
         )
@@ -290,14 +298,37 @@ class Trainer:
             interval=int(cfg.get("progress_interval", 20)),
             enabled=is_main_process(),
         )
-        cb = (cfg.get("callbacks") or {}).get("model_checkpoint") or {}
-        self.ckpt = CheckpointManager(
-            Path(cb.get("dirpath", out_dir / "checkpoints")),
-            monitor=cb.get("monitor", "map"),
-            mode=cb.get("mode", "max"),
-        )
+        cb_all = cfg.get("callbacks") or {}
+        cb = cb_all.get("model_checkpoint")
+        if cb is None and "model_checkpoint" in cb_all:
+            self.ckpt = None  # callbacks=none: checkpointing disabled
+        else:
+            cb = cb or {}
+            self.ckpt = CheckpointManager(
+                Path(cb.get("dirpath", out_dir / "checkpoints")),
+                monitor=cb.get("monitor", "map"),
+                mode=cb.get("mode", "max"),
+            )
         callbacks_cfg = cfg.get("callbacks") or {}
         self.sampler_debug = bool(callbacks_cfg.get("sampler_debug"))
+        # model summary callback (parity: RichModelSummary via
+        # kod/configs/callbacks/model_summary.yaml)
+        ms = callbacks_cfg.get("model_summary")
+        if ms and is_main_process():
+            self._print_model_summary(int((ms or {}).get("max_depth", 3)))
+        # rich progress bar (parity: kod/configs/callbacks/rich_progress_bar
+        # + the disable_progress_bar headless switch, ref tasks/trainer.py:72-84)
+        import sys as _sys
+
+        self.rich_progress = (
+            bool(callbacks_cfg.get("rich_progress_bar"))
+            and not cfg.get("disable_progress_bar")
+            and _sys.stdout.isatty()
+            and is_main_process()
+        )
+        # interval table is the headless alternative (ref adds the progress
+        # callback only when the rich bar is disabled, tasks/trainer.py:72-84)
+        self.progress.enabled = self.progress.enabled and not self.rich_progress
         # early stopping (parity: kod/configs/callbacks/early_stopping.yaml)
         es = callbacks_cfg.get("early_stopping") or {}
         self.es_patience = int(es.get("patience", 0))  # 0 = disabled
@@ -334,6 +365,29 @@ class Trainer:
             self.state = restore_checkpoint(cfg["ckpt_path"], self.state)
 
     # ------------------------------------------------------------------
+    def _print_model_summary(self, max_depth: int = 3):
+        """Per-module parameter-count table (RichModelSummary analog)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        groups: Dict[str, int] = {}
+        for path, leaf in flat:
+            keys = [getattr(p, "key", str(p)) for p in path][:max_depth]
+            groups.setdefault("/".join(keys), 0)
+            groups["/".join(keys)] += int(np.prod(leaf.shape))
+        try:
+            from rich.console import Console
+            from rich.table import Table
+
+            t = Table(title=f"model summary (depth {max_depth})")
+            t.add_column("module")
+            t.add_column("params", justify="right")
+            for k, v in groups.items():
+                t.add_row(k, f"{v:,}")
+            t.add_row("TOTAL", f"{sum(groups.values()):,}")
+            Console().print(t)
+        except Exception:
+            for k, v in groups.items():
+                print(f"  {k}: {v:,}")
+
     def _train_prefetcher(self):
         dcfg = self.cfg["data"]
         if dcfg.get("pipeline") == "device":
@@ -484,6 +538,13 @@ class Trainer:
                 n_batches = max(int(n_batches * float(limit)), 1)
 
             overflow_base = getattr(batches, "overflow_total", 0)
+            bar = None
+            if self.rich_progress:
+                from object_detection_cib_tpu.utils.loggers import (
+                    RichEpochProgress,
+                )
+
+                bar = RichEpochProgress(epoch, n_batches)
             for bi, batch in enumerate(batches):
                 if bi >= n_batches:
                     break
@@ -507,7 +568,13 @@ class Trainer:
                     }
                     self._log(metrics, global_step)
                     self.progress.update(epoch, global_step, metrics)
+                    if bar:
+                        bar.advance(metrics)
+                elif bar:
+                    bar.advance()
 
+            if bar:
+                bar.close()
             dt = time.time() - epoch_t0
             ips = n_images / max(dt, 1e-9)
 
@@ -530,7 +597,8 @@ class Trainer:
                     f"[epoch {epoch}] map={last_val.get('map', 0):.4f} "
                     f"map50={last_val.get('map50', 0):.4f} ips={ips:.1f}",
                 )
-                self.ckpt.maybe_save_best(self.state, last_val)
+                if self.ckpt:
+                    self.ckpt.maybe_save_best(self.state, last_val)
                 if self.es_patience:
                     cur = last_val.get(self.es_monitor)
                     if cur is not None:
@@ -544,9 +612,11 @@ class Trainer:
                                     f"improvement for {self.es_patience} epochs",
                                     flush=True,
                                 )
-                                self.ckpt.save_last(self.state)
+                                if self.ckpt:
+                                    self.ckpt.save_last(self.state)
                                 return last_val
-            self.ckpt.save_last(self.state)
+            if self.ckpt:
+                self.ckpt.save_last(self.state)
 
             if self.sampler_debug and self.sampler is not None:
                 self._dump_sampler_stats(epoch)

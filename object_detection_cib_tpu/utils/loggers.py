@@ -160,6 +160,40 @@ def build_loggers(logger_cfg: Optional[dict]) -> list:
     return out
 
 
+class RichEpochProgress:
+    """Rich live progress bar for one epoch (RichProgressBar analog)."""
+
+    def __init__(self, epoch: int, total: int):
+        from rich.progress import (
+            BarColumn,
+            Progress,
+            TextColumn,
+            TimeElapsedColumn,
+        )
+
+        self._p = Progress(
+            TextColumn(f"epoch {epoch}"),
+            BarColumn(),
+            TextColumn("{task.completed}/{task.total}"),
+            TimeElapsedColumn(),
+            TextColumn("{task.fields[postfix]}"),
+            transient=True,
+        )
+        self._p.start()
+        self._task = self._p.add_task("train", total=total, postfix="")
+
+    def advance(self, metrics: Optional[Dict[str, float]] = None):
+        postfix = (
+            " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items())
+            if metrics
+            else ""
+        )
+        self._p.update(self._task, advance=1, postfix=postfix)
+
+    def close(self):
+        self._p.stop()
+
+
 class ProgressTable:
     """Interval console metrics (ref ProgressDisplayCallback)."""
 

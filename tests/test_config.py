@@ -1,6 +1,7 @@
 """Config engine tests: composition, overlays, CLI overrides, instantiate —
 exercising the real configs/ tree with the reference's CLI spellings."""
 
+import re
 from functools import partial
 from pathlib import Path
 
@@ -90,7 +91,15 @@ def test_debug_preset():
 
 
 def test_interpolation():
+    # default run dirs are timestamped (ref hydra/default.yaml:9-13);
+    # hydra=static restores the fixed-dir spelling
     cfg = compose(CONFIG_DIR)
+    dirpath = cfg["callbacks"]["model_checkpoint"]["dirpath"]
+    assert re.fullmatch(
+        r"runs/train/runs/\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}/checkpoints",
+        dirpath,
+    ), dirpath
+    cfg = compose(CONFIG_DIR, overrides=["hydra=static"])
     assert cfg["callbacks"]["model_checkpoint"]["dirpath"] == (
         "runs/train/checkpoints"
     )
@@ -120,3 +129,44 @@ def test_add_and_delete_overrides():
     cfg = compose(CONFIG_DIR, overrides=["+extra.thing=5", "~tags"])
     assert cfg["extra"]["thing"] == 5
     assert "tags" not in cfg
+
+
+def test_assigners_group():
+    # (ref kod/configs/assigners/yv5.yaml — own selectable group)
+    cfg = compose(CONFIG_DIR, overrides=["assigners=yv5"])
+    assert cfg["assigners"]["threshold"] == 4.0
+    cfg = compose(CONFIG_DIR, overrides=["assigners.threshold=3.5"])
+    assert cfg["assigners"]["threshold"] == 3.5
+
+
+def test_extras_group():
+    cfg = compose(CONFIG_DIR)
+    assert cfg["extras"]["enforce_tags"] is True
+    assert cfg["extras"]["print_config"] is True
+
+
+def test_callbacks_split_options():
+    # individually selectable callback options (ref callbacks/*.yaml)
+    cfg = compose(CONFIG_DIR, overrides=["callbacks=model_checkpoint"])
+    assert set(cfg["callbacks"]) == {"model_checkpoint"}
+    cfg = compose(CONFIG_DIR, overrides=["callbacks=none"])
+    assert cfg["callbacks"]["model_checkpoint"] is None
+    cfg = compose(CONFIG_DIR, overrides=["callbacks=sampler_debug"])
+    assert cfg["callbacks"]["sampler_debug"] is True
+    cfg = compose(CONFIG_DIR)  # default composes the option files
+    assert cfg["callbacks"]["model_summary"]["max_depth"] == 3
+    assert cfg["callbacks"]["rich_progress_bar"] is True
+
+
+def test_albu_augmentations_group():
+    # (ref kod/configs/data/augmentations/albu/default.yaml spelling)
+    cfg = compose(CONFIG_DIR, overrides=["data/augmentations=albu/default"])
+    spec = cfg["data"]["train_data_augmentor"]
+    assert spec["_target_"].endswith("augmentor.TrainSampleAugmentor")
+    aug = instantiate(spec)
+    from object_detection_cib_tpu.data.augmentor import (
+        TrainSampleAugmentor as AlbuAugmentor,
+    )
+
+    assert isinstance(aug, AlbuAugmentor)
+    assert len(aug.augmentations) == 6

@@ -195,3 +195,76 @@ def test_full_device_pipeline_jits():
     out = pipeline(dev, jax.random.PRNGKey(0))
     assert out.images.shape == (2, S, S, 3)
     assert np.isfinite(np.asarray(out.images)).all()
+
+
+def test_hsv_device_host_lut_exact_parity():
+    """Device HSV vs the host cv2-uint8-LUT oracle with identical gains:
+    bit-exact except where the true value lands exactly on an integer and
+    cv2 5.x's fixed-point kernel floors one off (|diff| <= 1)."""
+    from object_detection_cib_tpu.data.host_augment import HSVParams, augment_hsv
+
+    rng = np.random.default_rng(0)
+    B = 8
+    imgs = rng.integers(0, 256, (B, 96, 96, 3), dtype=np.uint8)
+    r = rng.uniform(-1, 1, (B, 3)) * [0.015, 0.7, 0.4] + 1
+
+    class _FixedRng:  # inject the same gains into the host oracle
+        def __init__(self, rr):
+            self.rr = rr
+
+        def uniform(self, a, b, n):
+            return (self.rr - 1) / np.asarray([0.015, 0.7, 0.4])
+
+    host = np.stack(
+        [
+            augment_hsv(imgs[i], HSVParams(0.015, 0.7, 0.4), _FixedRng(r[i]))
+            for i in range(B)
+        ]
+    )
+    dev = np.asarray(
+        hsv_batch(
+            jnp.asarray(imgs, jnp.float32), None, r=jnp.asarray(r, jnp.float32)
+        )
+    )
+    diff = np.abs(host.astype(int) - dev.astype(int))
+    assert (diff == 0).mean() > 0.99, (diff == 0).mean()
+    assert diff.max() <= 1
+
+
+def test_hsv_device_host_parity_extreme_gains():
+    """Same, at the extreme ends of the gain ranges (hue wraparound and
+    saturation/value clipping active)."""
+    from object_detection_cib_tpu.data.host_augment import HSVParams, augment_hsv
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    r = np.asarray(
+        [
+            [1.015, 1.7, 1.4],
+            [0.985, 0.3, 0.6],
+            [1.015, 0.3, 1.4],
+            [0.985, 1.7, 0.6],
+        ]
+    )
+
+    class _FixedRng:
+        def __init__(self, rr):
+            self.rr = rr
+
+        def uniform(self, a, b, n):
+            return (self.rr - 1) / np.asarray([0.015, 0.7, 0.4])
+
+    host = np.stack(
+        [
+            augment_hsv(imgs[i], HSVParams(0.015, 0.7, 0.4), _FixedRng(r[i]))
+            for i in range(4)
+        ]
+    )
+    dev = np.asarray(
+        hsv_batch(
+            jnp.asarray(imgs, jnp.float32), None, r=jnp.asarray(r, jnp.float32)
+        )
+    )
+    diff = np.abs(host.astype(int) - dev.astype(int))
+    assert (diff == 0).mean() > 0.99, (diff == 0).mean()
+    assert diff.max() <= 1

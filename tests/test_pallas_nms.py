@@ -67,3 +67,21 @@ def test_end_to_end_impl_switch():
     b = non_max_suppression(det, 0.25, 0.45, max_nms=256, impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(a.classes), np.asarray(b.classes))
+
+
+def test_kernel_k2048_production_capacity():
+    """K=2048 (the production max_nms) fits the tiled-VMEM formulation."""
+    rng = np.random.default_rng(5)
+    K2 = 2048
+    n_real = 900
+    boxes = np.zeros((K2, 4), np.float32)
+    xy = rng.uniform(0, 400, (n_real, 2))
+    wh = rng.uniform(10, 90, (n_real, 2))
+    boxes[:n_real] = np.concatenate([xy, xy + wh], -1)
+    live = np.zeros(K2, bool)
+    live[:n_real] = True
+    want = _greedy_nms_mask(jnp.asarray(boxes), jnp.asarray(live), 0.5)
+    got = pallas_greedy_nms_mask(
+        jnp.asarray(boxes), jnp.asarray(live), 0.5, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
