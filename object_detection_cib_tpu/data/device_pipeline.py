@@ -51,16 +51,38 @@ def build_device_augment_fn(
     aug: AugParams,
     mixup_prob: float = 0.0,
     max_targets: int = 120,
+    use_mosaic: bool = True,
 ):
-    """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch."""
+    """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
+
+    use_mosaic=False (the no_mosaic recipe, ref detection.py:74-76) skips
+    the 4-way mosaic: each source image is center-letterboxed to S (host
+    SampleReader letterbox parity) and the affine runs with border (0, 0).
+    """
     ap = aug.affine_params
-    border = (-target_size // 2, -target_size // 2)
+    border = (-target_size // 2, -target_size // 2) if use_mosaic else (0, 0)
+
+    def letterbox_center(sample: DeviceSample) -> DeviceSample:
+        # native loader packs content top-left; host letterbox centers it
+        top = (target_size - sample.sizes[:, 0]) // 2
+        left = (target_size - sample.sizes[:, 1]) // 2
+        images = jax.vmap(lambda im, t, l: jnp.roll(im, (t, l), (0, 1)))(
+            sample.images, top, left
+        )
+        shift = jnp.stack([left, top, left, top], -1).astype(jnp.float32)
+        return sample._replace(
+            images=images,
+            boxes=sample.boxes + shift[:, None, :],
+            sizes=jnp.full_like(sample.sizes, target_size),
+        )
 
     def augment_group(sample: DeviceSample, key) -> DeviceSample:
         k_m, k_a, k_h, k_f = jax.random.split(key, 4)
         if sample.images.dtype != jnp.float32:
             sample = sample._replace(images=sample.images.astype(jnp.float32))
-        s = mosaic4_batch(sample, k_m, target_size)
+        s = mosaic4_batch(sample, k_m, target_size) if use_mosaic else (
+            letterbox_center(sample)
+        )
         values = sample_affine_values_batch(
             k_a,
             s.images.shape[0],
@@ -107,6 +129,7 @@ def build_device_augment_fn(
         return batch, overflow.astype(jnp.int32)
 
     if mixup_prob > 0.0:
+        assert use_mosaic, "Mixup requires mosaic (ref detection.py:58-59)"
 
         @jax.jit
         def fn(primary: DeviceSample, secondary: DeviceSample, key):
@@ -144,6 +167,7 @@ class DeviceDataPipeline:
         aug_params: AugParams,
         max_targets: int = 120,
         mixup_prob: float = 0.0,
+        use_mosaic: bool = True,
         sampler=None,
         seed: int = 0,
         root_dir: Optional[Path] = None,
@@ -159,6 +183,7 @@ class DeviceDataPipeline:
         self.B = batch_size
         self.max_targets = max_targets
         self.mixup_prob = mixup_prob
+        self.use_mosaic = use_mosaic
         self.sampler = sampler
         self.root_dir = Path(root_dir) if root_dir else get_root_dir()
         self.fake_mode = fake_mode
@@ -168,7 +193,7 @@ class DeviceDataPipeline:
         self.pyrng = pyrandom.Random(seed)
         self.label_to_index = {c: i for i, c in enumerate(dataset_info.classes)}
         self.augment_fn = build_device_augment_fn(
-            target_size, aug_params, mixup_prob, max_targets
+            target_size, aug_params, mixup_prob, max_targets, use_mosaic
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per
@@ -374,11 +399,14 @@ class DeviceDataPipeline:
             try:
                 for bi in range(n_batches):
                     primaries = epoch_idx[bi * self.B : (bi + 1) * self.B]
-                    group = []
-                    for p in primaries:
-                        four = [int(p)] + self._co_indices(3)
-                        self.pyrng.shuffle(four)
-                        group.extend(four)
+                    if self.use_mosaic:
+                        group = []
+                        for p in primaries:
+                            four = [int(p)] + self._co_indices(3)
+                            self.pyrng.shuffle(four)
+                            group.extend(four)
+                    else:
+                        group = [int(p) for p in primaries]
                     self.key, k = jax.random.split(self.key)
                     sec = []
                     if self.mixup_prob > 0.0:

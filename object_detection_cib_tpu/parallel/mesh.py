@@ -52,6 +52,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(batch, mesh: Mesh):
-    """Place every leaf of a batch pytree with its leading dim on `data`."""
+    """Place every leaf of a batch pytree with its leading dim on `data`.
+
+    Single-process: a plain sharded device_put. Multi-process (pods): each
+    process holds only its per-host rows (data/samplers.py shard_indices
+    feeds disjoint index blocks), so the global array is assembled from
+    process-local data — the jax analog of DistributedSampler + DDP's
+    implicit global batch.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -83,7 +83,19 @@ def _anchors_from_cfg(anchor_cfg: dict) -> LevelAnchors:
 
 def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
     """Resolve a dataset by name: cached manifest first, else synthetic/fake
-    auto-build (the zero-egress stand-ins for the COCO-backed datasets)."""
+    auto-build (the zero-egress stand-ins for the COCO-backed datasets).
+
+    Names are validated against the DatasetName registry (parity:
+    kod/data/enums.py:7-15); unknown names still resolve if a cached
+    manifest exists (custom datasets), but a typo'd registry name gets a
+    helpful error instead of FileNotFoundError.
+    """
+    from object_detection_cib_tpu.data.enums import DatasetName
+
+    known = {d.value for d in DatasetName}
+    registered = name in known or any(
+        name.startswith(prefix) for prefix in ("fake", "synthetic")
+    )
     if name.startswith("fake"):
         return build_fake_manifest(
             name=name,
@@ -94,8 +106,14 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
     cache_dir = cfg.get("dataset_cache_dir")
     try:
         return deserialize_cached_dataset(name, split, cache_dir)
-    except FileNotFoundError:
+    except FileNotFoundError as e:
         if not name.startswith("synthetic"):
+            if not registered:
+                raise ValueError(
+                    f"unknown dataset {name!r}: not in the DatasetName "
+                    f"registry {sorted(known)} and no cached manifest found "
+                    f"({e})"
+                ) from e
             raise
         from object_detection_cib_tpu.data.cache import serialize_cached_dataset
         from object_detection_cib_tpu.utils.fs import get_root_dir
@@ -411,6 +429,7 @@ class Trainer:
                 aug_params=aug,
                 max_targets=self.max_targets,
                 mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
+                use_mosaic=bool(dcfg.get("use_mosaic", True)),
                 sampler=self.sampler,
                 seed=self.seed,
                 fake_mode=bool(dcfg.get("fake_mode")),

@@ -10,6 +10,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# jit-compile heavy on the 1-CPU CI host: run in the slow tier
+# (`pytest -m slow`); the default tier stays under 5 minutes.
+pytestmark = pytest.mark.slow
+
 from object_detection_cib_tpu.config import compose
 from object_detection_cib_tpu.train.trainer import Trainer, train
 

@@ -1,0 +1,164 @@
+"""Real 2-process jax.distributed data parallelism (the multi-host path).
+
+The reference's distributed testing is a 2-process CPU `ddp_spawn` run
+(kod/configs/trainer/ddp_sim.yaml); this is the jax analog with actual
+separate processes joined via jax.distributed.initialize — exercising
+initialize_multihost, per-host batch assembly
+(parallel/mesh.shard_batch_pytree's make_array_from_process_local_data
+branch), the pjit gradient psum across processes, and rank-zero gating.
+
+Asserts the 2-process run's parameters equal a single-process run over the
+same global batches.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns processes that each jit-compile
+
+_WORKER = r"""
+import os, sys, json
+import numpy as np
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+coord = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+if nproc > 1:
+    from object_detection_cib_tpu.parallel.distributed import (
+        initialize_multihost, is_main_process,
+    )
+    ok = initialize_multihost(coord, nproc, pid)
+    assert ok, "distributed init failed"
+    assert (jax.process_index() == 0) == is_main_process()
+
+import jax.numpy as jnp
+from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
+from object_detection_cib_tpu.models.yolov5 import build_network
+from object_detection_cib_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+from object_detection_cib_tpu.train.optim import OptimizerConfig, SmartSGD
+from object_detection_cib_tpu.train.steps import (
+    Batch, create_train_state, jit_train_step, make_train_step,
+)
+
+IMG, B, T, NC, STEPS = 64, 8, 6, 3, 3
+shape = FeatureShape(IMG, IMG)
+net = build_network(NC, "n")
+opt = SmartSGD(OptimizerConfig(max_epochs=3), steps_per_epoch=2)
+state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+mesh = make_mesh()  # all global devices on the data axis
+step = jit_train_step(
+    make_train_step(net, default_anchors(), shape, opt), mesh
+)
+
+def global_batch(i):
+    rng = np.random.default_rng(100 + i)
+    images = rng.random((B, IMG, IMG, 3)).astype(np.float32)
+    boxes = np.zeros((B, T, 4), np.float32)
+    labels = rng.integers(0, NC, (B, T)).astype(np.int32)
+    mask = np.zeros((B, T), bool)
+    for b in range(B):
+        for t in range(rng.integers(1, T)):
+            x, y = rng.uniform(0, IMG - 20, 2)
+            w, h = rng.uniform(5, 18, 2)
+            boxes[b, t] = [x, y, x + w, y + h]
+            mask[b, t] = True
+    return Batch(images=images, boxes=boxes, labels=labels, mask=mask)
+
+per_host = B // nproc
+for i in range(STEPS):
+    g = global_batch(i)
+    # contiguous per-host block (matches process-ordered mesh devices)
+    local = jax.tree.map(lambda x: x[pid * per_host : (pid + 1) * per_host], g)
+    batch = shard_batch_pytree(local, mesh)
+    state, m = step(state, batch)
+
+leaves = jax.tree.leaves(state.params)
+# fetch fully-replicated params (every process owns replicas)
+vals = [np.asarray(jax.device_get(l)) for l in leaves]
+checksum = float(sum(np.float64(v).sum() for v in vals))
+first = np.concatenate([v.ravel()[:5] for v in vals[:4]]).tolist()
+print(json.dumps({"pid": pid, "checksum": checksum, "first": first,
+                  "loss": float(m.total)}))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_worker(pid, nproc, coord, env):
+    return subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(pid), str(nproc), coord],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        env=env,
+        text=True,
+    )
+
+
+def test_two_process_dp_matches_single_process():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    coord = f"localhost:{_free_port()}"
+    p0 = _run_worker(0, 2, coord, env)
+    p1 = _run_worker(1, 2, coord, env)
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=600)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+
+    import json
+
+    r0 = json.loads(out0.strip().splitlines()[-1])
+    r1 = json.loads(out1.strip().splitlines()[-1])
+    # both processes hold identical replicated params
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    assert r0["first"] == pytest.approx(r1["first"], rel=1e-12)
+
+    # single-process reference over the same global batches (4 local devices
+    # so the mesh shape matches: 2 procs x 2 devs == 1 proc x 4 devs)
+    envs = dict(env)
+    ps = subprocess.Popen(
+        [sys.executable, "-c",
+         _WORKER.replace('"--xla_force_host_platform_device_count=2"',
+                         '"--xla_force_host_platform_device_count=4"'),
+         "0", "1", "unused"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=envs, text=True,
+    )
+    outs, errs = ps.communicate(timeout=600)
+    assert ps.returncode == 0, errs[-2000:]
+    rs = json.loads(outs.strip().splitlines()[-1])
+    np.testing.assert_allclose(r0["first"], rs["first"], rtol=1e-5, atol=1e-7)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-6)
+    assert r0["loss"] == pytest.approx(rs["loss"], rel=1e-4)
+
+
+def test_shard_indices_partition_property():
+    """Per-host shards are disjoint and cover the global stream."""
+    from object_detection_cib_tpu.data.samplers import shard_indices
+
+    idx = np.random.default_rng(0).permutation(101)
+    shards = [shard_indices(idx, h, 4) for h in range(4)]
+    assert sum(len(s) for s in shards) == 101
+    assert set(np.concatenate(shards).tolist()) == set(idx.tolist())

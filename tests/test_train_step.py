@@ -9,6 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# jit-compile heavy on the 1-CPU CI host: run in the slow tier
+# (`pytest -m slow`); the default tier stays under 5 minutes.
+pytestmark = pytest.mark.slow
+
 from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
 from object_detection_cib_tpu.models.yolov5 import build_network
 from object_detection_cib_tpu.parallel.mesh import make_mesh, shard_batch_pytree
