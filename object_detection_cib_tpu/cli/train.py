@@ -17,7 +17,7 @@ from object_detection_cib_tpu.parallel.distributed import (
     is_main_process,
     maybe_initialize_from_env,
 )
-from object_detection_cib_tpu.train.trainer import train
+from object_detection_cib_tpu.train.trainer import get_metric_value, train
 
 DEFAULT_CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
 
@@ -54,7 +54,16 @@ def main(argv=None):
     # task wrapper: log exceptions to the run dir before re-raising
     # (parity: kod/lightning/hydra_utils/misc.py:53-105)
     try:
-        return train(cfg)
+        metrics = train(cfg)
+        # hydra-sweep support: return the optimized metric when requested
+        # (parity: kod/lightning/tasks/trainer.py:163-168)
+        opt_name = cfg.get("optimized_metric")
+        if opt_name:
+            value = get_metric_value(metrics, opt_name)
+            if is_main_process():
+                print(f"optimized_metric {opt_name}={value}", flush=True)
+            return value
+        return metrics
     except Exception:
         import traceback
 

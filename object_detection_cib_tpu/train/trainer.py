@@ -476,6 +476,10 @@ class Trainer:
             n_batches = 1
         elif limit:
             n_batches = max(int(n_batches * float(limit)), 1)
+        # one-deep software pipeline: the device evaluates batch i+1 while the
+        # host converts + accumulates batch i's mAP stats (jax dispatch is
+        # async; np.asarray is the sync point, so it's deferred one batch)
+        pending = None
         for bi, batch in enumerate(pf):
             if bi >= n_batches:
                 break
@@ -488,8 +492,15 @@ class Trainer:
                 )
             images = shard_batch_pytree(images, self.mesh)
             res = self.eval_step(self.state.params, self.state.batch_stats, images)
-            res = jax.tree.map(lambda x: np.asarray(x)[:B], res)
-            evaluator.add_batch(res, batch.boxes, batch.labels, batch.mask)
+            if pending is not None:
+                pres, pB, pbatch = pending
+                pres = jax.tree.map(lambda x, n=pB: np.asarray(x)[:n], pres)
+                evaluator.add_batch(pres, pbatch.boxes, pbatch.labels, pbatch.mask)
+            pending = (res, B, batch)
+        if pending is not None:
+            pres, pB, pbatch = pending
+            pres = jax.tree.map(lambda x, n=pB: np.asarray(x)[:n], pres)
+            evaluator.add_batch(pres, pbatch.boxes, pbatch.labels, pbatch.mask)
         metrics = evaluator.results_dict()
         self._print_map_table(metrics)
         return metrics
@@ -689,6 +700,25 @@ class Trainer:
         if out_path is not None:
             Path(out_path).write_text(json.dumps(results))
         return results
+
+
+def get_metric_value(metric_dict: Dict[str, float], metric_name) -> float:
+    """Safely retrieve the sweep-optimized metric from a task's metric dict.
+
+    Parity: kod/lightning/hydra_utils/misc.py:108-128 (`get_metric_value`),
+    used by hydra hyperparameter sweeps via `cfg.optimized_metric`. Returns
+    None when no metric name is requested; raises with the same guidance
+    message when the name is absent from the logged metrics.
+    """
+    if not metric_name:
+        return None
+    if metric_name not in metric_dict:
+        raise KeyError(
+            f"Metric value not found! <metric_name={metric_name}>. "
+            f"Available: {sorted(metric_dict)}. Make sure the "
+            "`optimized_metric` name matches a logged metric."
+        )
+    return float(metric_dict[metric_name])
 
 
 def train(cfg: dict) -> Dict[str, float]:

@@ -105,3 +105,36 @@ def test_trainer_exposes_components(tmp_path):
     assert t.net.num_classes == len(t.classes)
     assert t.optimizer.nw >= 100
     assert t.mesh.devices.size >= 1
+
+
+def test_optimized_metric_retrieval(tmp_path):
+    # sweep support (parity: kod/lightning/hydra_utils/misc.py:108-128 +
+    # tasks/trainer.py:163-168): cli returns the optimized metric value
+    from object_detection_cib_tpu.cli import train as cli_train
+    from object_detection_cib_tpu.train.trainer import get_metric_value
+
+    assert get_metric_value({"map": 0.5}, None) is None
+    assert get_metric_value({"map": 0.5}, "map") == 0.5
+    with pytest.raises(KeyError):
+        get_metric_value({"map": 0.5}, "val/acc")
+
+    value = cli_train.main(
+        [
+            "debug=fdr",
+            "experiment=yv5n",
+            "dataset_name=fake",
+            "data.fake_mode=True",
+            "data.batch_size=4",
+            "data.target_image_size=64",
+            "data.max_targets=40",
+            "data.num_workers=2",
+            "data.enable_ram_cache=False",
+            f"paths.output_dir={tmp_path}/run",
+            f"callbacks.model_checkpoint.dirpath={tmp_path}/run/checkpoints",
+            "logger=csv",
+            f"logger.csv.save_dir={tmp_path}/run/csv",
+            "print_config=False",
+            "+optimized_metric=map",
+        ]
+    )
+    assert isinstance(value, float) and 0.0 <= value <= 1.0
