@@ -46,7 +46,8 @@ def make_fake_batch(B, img, T, nc, seed=0):
     )
 
 
-def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s"):
+def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
+                remat=None):
     from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
     from object_detection_cib_tpu.models.yolov5 import build_network
     from object_detection_cib_tpu.train.optim import OptimizerConfig, SmartSGD
@@ -60,7 +61,8 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s"):
     opt = SmartSGD(OptimizerConfig(max_epochs=300), steps_per_epoch=100)
     state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
     step = jax.jit(
-        make_train_step(net, default_anchors(), shape, opt), donate_argnums=(0,)
+        make_train_step(net, default_anchors(), shape, opt, remat_policy=remat),
+        donate_argnums=(0,),
     )
     b = make_fake_batch(batch, img, 60, nc)
 
@@ -123,15 +125,20 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--skip-nms", action="store_true")
     ap.add_argument("--skip-416", action="store_true")
+    ap.add_argument("--remat", default=None, choices=[None, "conv_out", "nothing"])
     args = ap.parse_args()
 
-    ips, last_loss = bench_train(img=args.img, batch=args.batch, steps=args.steps)
+    ips, last_loss = bench_train(
+        img=args.img, batch=args.batch, steps=args.steps, remat=args.remat
+    )
     nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
     ips_416 = None
     if not args.skip_416:
         # the reference's actual training recipe resolution
         # (kod/configs/data/default.yaml:10)
-        ips_416, _ = bench_train(img=416, batch=args.batch, steps=args.steps)
+        ips_416, _ = bench_train(
+            img=416, batch=args.batch, steps=args.steps, remat=args.remat
+        )
 
     out = {
         "metric": "train_images_per_sec_per_chip_yolov5s_640",

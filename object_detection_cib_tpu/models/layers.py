@@ -21,6 +21,7 @@ from typing import Callable, Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == uniform with
 # bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform).
@@ -61,6 +62,10 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # no-op tag; under train-step remat_policy="conv_out" only these
+        # conv outputs are saved for backward — BN normalize + SiLU are
+        # recomputed fused into the backward kernels (HBM-traffic trade)
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
@@ -128,6 +133,7 @@ class SpaceToDepthStem(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = self._Conv(self.features, dtype=self.dtype, name="conv")(x)
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,

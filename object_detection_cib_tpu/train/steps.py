@@ -87,6 +87,7 @@ def make_train_step(
     assign_threshold: float = 4.0,
     head_sharding=None,
     assign_offset_capacity: int = 3,
+    remat_policy: Optional[str] = None,
 ):
     """Build the un-jitted train step; wrap with jit_train_step for a mesh.
 
@@ -95,16 +96,33 @@ def make_train_step(
     small prediction maps to data-only sharding — the loss's index gathers'
     backward is a scatter-add, which GSPMD mishandles on spatially-sharded
     operands (empirically wrong grads), and the maps are tiny anyway.
+
+    remat_policy: None (save everything, XLA default) | "conv_out" (save
+    only tagged conv outputs; BN+SiLU recompute fuses into backward —
+    trades recompute FLOPs for HBM activation traffic, the profiled wall
+    at 640px, see ROOFLINE.md) | "nothing" (full per-step recompute).
     """
+    remat_policies = {
+        "conv_out": jax.checkpoint_policies.save_only_these_names("conv_out"),
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }
 
     def train_step(state: TrainState, batch: Batch):
-        def loss_fn(params):
-            out, mutated = net.apply(
+        def forward(params, images):
+            return net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch.images,
+                images,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if remat_policy:
+            forward = jax.checkpoint(
+                forward, policy=remat_policies[remat_policy]
+            )
+
+        def loss_fn(params):
+            out, mutated = forward(params, batch.images)
             if head_sharding is not None:
                 out = jax.tree.map(
                     lambda x: jax.lax.with_sharding_constraint(x, head_sharding)

@@ -293,6 +293,7 @@ class Trainer:
                 self.class_weights,
                 self.assign_threshold,
                 assign_offset_capacity=self.assign_offset_capacity,
+                remat_policy=mcfg.get("remat_policy") or None,
             ),
             self.mesh,
         )

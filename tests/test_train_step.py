@@ -126,3 +126,33 @@ def test_eval_step_on_mesh(setup):
     images = shard_batch_pytree(_make_batch(8).images, mesh)
     res = jes(state.params, state.batch_stats, images)
     assert res.boxes.shape == (8, 10, 4)
+
+
+@pytest.mark.parametrize("policy", ["conv_out", "nothing"])
+def test_remat_policy_equivalence(setup, policy):
+    """remat recompute must not change the step's math (same grads/params).
+
+    remat_policy trades HBM activation traffic for recompute FLOPs
+    (ROOFLINE.md); it must be a pure scheduling change.
+    """
+    net, anchors, shape, opt, state, step = setup
+    batch = _make_batch(2, seed=7)
+    base_state, base_m = jax.jit(step, donate_argnums=())(state, batch)
+    rstep = make_train_step(net, anchors, shape, opt, remat_policy=policy)
+    new_state, new_m = jax.jit(rstep, donate_argnums=())(state, batch)
+    np.testing.assert_allclose(
+        float(base_m.total), float(new_m.total), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(base_state.params), jax.tree.leaves(new_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+    for a, b in zip(
+        jax.tree.leaves(base_state.batch_stats),
+        jax.tree.leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
