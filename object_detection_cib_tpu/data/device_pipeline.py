@@ -61,6 +61,11 @@ def build_device_augment_fn(
     """
     ap = aug.affine_params
     border = (-target_size // 2, -target_size // 2) if use_mosaic else (0, 0)
+    # production recipe (ref default.py:31-35): no rotation/shear/perspective
+    # -> the warp is separable and runs on the MXU (ops/augment.py)
+    axis_aligned = (
+        ap.degrees == 0.0 and ap.shear == 0.0 and ap.perspective == 0.0
+    )
 
     def letterbox_center(sample: DeviceSample) -> DeviceSample:
         # native loader packs content top-left; host letterbox centers it
@@ -78,11 +83,13 @@ def build_device_augment_fn(
 
     def augment_group(sample: DeviceSample, key) -> DeviceSample:
         k_m, k_a, k_h, k_f = jax.random.split(key, 4)
-        if sample.images.dtype != jnp.float32:
-            sample = sample._replace(images=sample.images.astype(jnp.float32))
+        # mosaic placement + letterbox roll are exact in uint8 and 4x
+        # cheaper on HBM; the f32 cast fuses into the warp's matmul read
         s = mosaic4_batch(sample, k_m, target_size) if use_mosaic else (
             letterbox_center(sample)
         )
+        if s.images.dtype != jnp.float32:
+            s = s._replace(images=s.images.astype(jnp.float32))
         values = sample_affine_values_batch(
             k_a,
             s.images.shape[0],
@@ -92,7 +99,9 @@ def build_device_augment_fn(
             shear=ap.shear,
             perspective=ap.perspective,
         )
-        s = affine_batch(s, values, target_size, border=border)
+        s = affine_batch(
+            s, values, target_size, border=border, axis_aligned=axis_aligned
+        )
         hp = aug.hsv_params
         if hp.should_aug():
             s = s._replace(

@@ -97,15 +97,29 @@ def _mosaic_one(imgs, sizes, boxes, labels, mask, center, target_size: int):
     yy = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)
 
-    canvas = jnp.full((S2, S2, 3), FILL, jnp.float32)
+    # Quadrant placement is a pure integer translation, so it maps to
+    # pad + dynamic roll + rectangle select — vector ops only. A 2-D gather
+    # formulation of the same thing runs on the TPU scalar core and was
+    # measured ~300x slower (the round-2 device-pipeline wall; see
+    # tools/bench_pipeline.py). Inside the destination rectangle the source
+    # index y - dy = y1b + (y - y1a) lies in [y1b, y2b) ⊂ [0, S), so the
+    # roll's wraparound and the pad contents are never observed.
+    # dtype follows the input: the placement is exact in uint8, and staying
+    # uint8 through the mosaic quarters the roll/select HBM traffic (the
+    # f32 cast happens inside the downstream warp's matmul read)
+    canvas = jnp.full((S2, S2, 3), FILL, imgs.dtype)
+    S = imgs.shape[1]
     for i in range(4):
         inside = (
             (yy >= y1a[i]) & (yy < y2a[i]) & (xx >= x1a[i]) & (xx < x2a[i])
         )
-        sy = jnp.clip(yy - y1a[i] + y1b[i], 0, imgs.shape[1] - 1)
-        sx = jnp.clip(xx - x1a[i] + x1b[i], 0, imgs.shape[2] - 1)
-        src = imgs[i][sy, sx]  # (S2, S2, 3) gather
-        canvas = jnp.where(inside[..., None], src, canvas)
+        dy = y1a[i] - y1b[i]
+        dx = x1a[i] - x1b[i]
+        padded = jnp.pad(
+            imgs[i], ((0, S2 - S), (0, S2 - S), (0, 0)), constant_values=FILL
+        )
+        rolled = jnp.roll(padded, (dy, dx), (0, 1))
+        canvas = jnp.where(inside[..., None], rolled, canvas)
 
     # boxes: translate by (padw, padh) = (x1a - x1b, y1a - y1b)
     padw = (x1a - x1b).astype(jnp.float32)  # (4,)
@@ -258,16 +272,66 @@ def _bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     return jnp.rint(top * (1 - fy) + bot * fy)
 
 
+def _tap_matrix(s: jnp.ndarray, n: int):
+    """Bilinear 1-D sampling operator. s (B, out) float source coords ->
+    A (B, out, n) tap weights (OOB taps zeroed) + cov (B, out) in-bounds
+    weight mass (1 - cov is the FILL border contribution)."""
+    i0f = jnp.floor(s)
+    f = s - i0f
+    i0 = i0f.astype(jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
+    in0 = (i0 >= 0) & (i0 < n)
+    in1 = (i0 + 1 >= 0) & (i0 + 1 < n)
+    w0 = jnp.where(in0, 1.0 - f, 0.0)
+    w1 = jnp.where(in1, f, 0.0)
+    hit0 = j == i0[..., None]
+    hit1 = j == (i0 + 1)[..., None]
+    A = w0[..., None] * hit0 + w1[..., None] * hit1
+    return A, w0 + w1
+
+
+def _axis_aligned_warp(imgs: jnp.ndarray, minv: jnp.ndarray, out_size: int):
+    """Separable scale+translate warp as two batched matmuls (MXU path).
+
+    Bit-equivalent bilinear math to `_bilinear_sample` for axis-aligned
+    inverse maps (minv[0,1] == minv[1,0] == 0, no perspective): the x-pass
+    computes v0*(1-fx) + v1*fx with per-tap FILL border substitution, the
+    y-pass blends rows likewise — the same two-stage arithmetic, executed
+    as dense dots over the 2-nonzero tap matrices instead of per-pixel
+    gathers (which run on the TPU scalar core, measured ~300x slower).
+    """
+    B, H, W, _ = imgs.shape
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    z = minv[:, 2, 2, None]
+    sx = (minv[:, 0, 0, None] * o + minv[:, 0, 2, None]) / z  # (B, out)
+    sy = (minv[:, 1, 1, None] * o + minv[:, 1, 2, None]) / z
+    Ax, covx = _tap_matrix(sx, W)  # (B, out, W)
+    Ay, covy = _tap_matrix(sy, H)  # (B, out, H)
+    hi = jax.lax.Precision.HIGHEST
+    h1 = jnp.einsum("bhwc,bxw->bhxc", imgs, Ax, precision=hi)
+    h1 = h1 + ((1.0 - covx) * FILL)[:, None, :, None]
+    out = jnp.einsum("byh,bhxc->byxc", Ay, h1, precision=hi)
+    out = out + ((1.0 - covy) * FILL)[:, :, None, None]
+    return jnp.rint(out)
+
+
 def affine_batch(
     sample: DeviceSample,
     values: AffineBatchValues,
     out_size: int,
     border: Tuple[int, int] = (0, 0),
+    axis_aligned: bool = False,
 ) -> DeviceSample:
     """Warp images+boxes; candidate-filter boxes into the mask.
 
     For the mosaic path the input canvas is 2Sx2S with border (-S/2,-S/2),
     giving an SxS output (ref detection.py:130 usage).
+
+    axis_aligned: static promise that degrees == shear == perspective == 0
+    (the reference's production recipe, ref default.py:31-35 defaults) —
+    the warp separates into two 1-D passes executed as batched matmuls on
+    the MXU instead of per-pixel gathers. Same bilinear math; equivalence
+    tested against the gather path.
     """
     B, H, W, _ = sample.images.shape
     in_w = W + border[1] * 2  # note: equals out size when border negative
@@ -277,18 +341,21 @@ def affine_batch(
     M = _affine_matrices(values, W, H, in_w, in_h)  # (B, 3, 3)
     Minv = jnp.linalg.inv(M)
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
-    ones = jnp.ones_like(xx)
-    dst = jnp.stack([xx, yy, ones], axis=-1)  # (h, w, 3)
+    if axis_aligned:
+        out_imgs = _axis_aligned_warp(sample.images, Minv, out_size)
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
+        ones = jnp.ones_like(xx)
+        dst = jnp.stack([xx, yy, ones], axis=-1)  # (h, w, 3)
 
-    def warp_one(img, minv):
-        src = dst @ minv.T  # (h, w, 3)
-        sx = src[..., 0] / src[..., 2]
-        sy = src[..., 1] / src[..., 2]
-        return _bilinear_sample(img, sx, sy)
+        def warp_one(img, minv):
+            src = dst @ minv.T  # (h, w, 3)
+            sx = src[..., 0] / src[..., 2]
+            sy = src[..., 1] / src[..., 2]
+            return _bilinear_sample(img, sx, sy)
 
-    out_imgs = jax.vmap(warp_one)(sample.images, Minv)
+        out_imgs = jax.vmap(warp_one)(sample.images, Minv)
 
     # boxes: 4-corner transform (ref default.py:250-276)
     b = sample.boxes  # (B, T, 4)

@@ -270,3 +270,40 @@ def test_hsv_device_host_parity_extreme_gains():
     diff = np.abs(host.astype(int) - dev.astype(int))
     assert (diff == 0).mean() > 0.99, (diff == 0).mean()
     assert diff.max() <= 1
+
+
+def test_axis_aligned_warp_matches_gather_path():
+    """Separable MXU warp == per-pixel gather warp for scale+translate maps
+    (the production recipe: degrees=shear=perspective=0)."""
+    rng = np.random.default_rng(11)
+    B = 4
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)).astype(np.float32))
+    dev = DeviceSample(
+        imgs,
+        jnp.full((B, 2), S, jnp.int32),
+        jnp.asarray(rng.uniform(0, S // 2, (B, 6, 4)).astype(np.float32)),
+        jnp.zeros((B, 6), jnp.int32),
+        jnp.ones((B, 6), bool),
+    )
+    dev = dev._replace(boxes=dev.boxes.at[..., 2:].add(30.0))
+    v = AffineBatchValues(
+        perspective_x=jnp.zeros(B),
+        perspective_y=jnp.zeros(B),
+        degrees=jnp.zeros(B),
+        scale=jnp.asarray(rng.uniform(0.5, 1.5, B), jnp.float32),
+        shear_x=jnp.zeros(B),
+        shear_y=jnp.zeros(B),
+        translate_x=jnp.asarray(rng.uniform(0.4, 0.6, B), jnp.float32),
+        translate_y=jnp.asarray(rng.uniform(0.4, 0.6, B), jnp.float32),
+    )
+    ref = affine_batch(dev, v, S, axis_aligned=False)
+    fast = affine_batch(dev, v, S, axis_aligned=True)
+    d = np.abs(np.asarray(ref.images) - np.asarray(fast.images))
+    # identical bilinear math; MXU f32 dot vs scalar mult may differ by one
+    # rint level at exact .5 boundaries
+    assert (d == 0).mean() > 0.9999, f"only {(d == 0).mean():.5%} exact"
+    assert d.max() <= 1.0, d.max()
+    np.testing.assert_allclose(
+        np.asarray(ref.boxes), np.asarray(fast.boxes), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(fast.mask))
