@@ -263,6 +263,19 @@ class DeviceDataPipeline:
                 raise ValueError(f"{fails} JPEG decode failures in dataset")
         self._ds_images = jax.device_put(canvases)
         self._ds_sizes = jax.device_put(sizes)
+        # dense per-image target arrays, precomputed once: per-step group
+        # assembly becomes one numpy fancy-index instead of a Python loop
+        # over indices x targets (measured ~1s/step of host time on a
+        # 1-core box at group size 256)
+        tb = np.zeros((n, self.src_T, 4), np.float32)
+        tl = np.zeros((n, self.src_T), np.int32)
+        tm = np.zeros((n, self.src_T), bool)
+        for i, s in enumerate(self.info.samples):
+            meta = s.image_metadata
+            tb[i], tl[i], tm[i] = self._targets_arrays(
+                i, (sizes[i, 0] / meta.height, sizes[i, 1] / meta.width)
+            )
+        self._t_boxes, self._t_labels, self._t_mask = tb, tl, tm
 
         core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
 
@@ -287,19 +300,12 @@ class DeviceDataPipeline:
         self._gather_augment = gather_and_augment
 
     def _group_targets(self, indices):
-        n = len(indices)
-        boxes = np.zeros((n, self.src_T, 4), np.float32)
-        labels = np.zeros((n, self.src_T), np.int32)
-        mask = np.zeros((n, self.src_T), bool)
-        for i, idx in enumerate(indices):
-            meta = self.info.samples[idx].image_metadata
-            scale = self.S / max(meta.height, meta.width)
-            h = min(max(int(round(meta.height * scale)), 1), self.S)
-            w = min(max(int(round(meta.width * scale)), 1), self.S)
-            boxes[i], labels[i], mask[i] = self._targets_arrays(
-                idx, (h / meta.height, w / meta.width)
-            )
-        return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask)
+        idx = np.asarray(indices, np.int64)
+        return (
+            jnp.asarray(self._t_boxes[idx]),
+            jnp.asarray(self._t_labels[idx]),
+            jnp.asarray(self._t_mask[idx]),
+        )
 
     # -------------------------- host stage --------------------------
     def _co_indices(self, k: int):
