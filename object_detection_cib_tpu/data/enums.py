@@ -15,4 +15,5 @@ class DatasetName(str, enum.Enum):
     coco_zipf = "coco-zipf"
     oi_zipf = "oi-zipf"
     synthetic_zipf = "synthetic-zipf"
+    synthetic_zipf_hard = "synthetic-zipf-hard"
     fake = "fake"

@@ -65,6 +65,43 @@ def _draw_shape(img: np.ndarray, cls: int, box: Sequence[int], rng) -> None:
         img[y1:y2, x1:x2][m] = color
 
 
+def _shape_mask(kind: int, h: int, w: int) -> np.ndarray:
+    """Boolean mask for one of 5 shape families."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ny = (yy - cy) / (h / 2.0 + 1e-6)
+    nx = (xx - cx) / (w / 2.0 + 1e-6)
+    if kind == 0:  # rectangle
+        return np.ones((h, w), bool)
+    if kind == 1:  # ellipse
+        return ny**2 + nx**2 <= 1.0
+    if kind == 2:  # triangle (apex up)
+        return (yy >= 0) & (np.abs(nx) <= (yy + 1) / max(h, 1))
+    if kind == 3:  # diamond
+        return np.abs(ny) + np.abs(nx) <= 1.0
+    # ring
+    r2 = ny**2 + nx**2
+    return (r2 <= 1.0) & (r2 >= 0.45)
+
+
+def _draw_hard_shape(img: np.ndarray, cls: int, box: Sequence[int], rng) -> None:
+    """Class = (shape family x stripe orientation); color is RANDOM per
+    instance, so color carries no class signal — the model must learn
+    shape+texture. This makes the corpus hard enough for augmentation
+    effects (mosaic/mixup) to show in final mAP instead of saturating."""
+    x1, y1, x2, y2 = box
+    h, w = y2 - y1, x2 - x1
+    m = _shape_mask(cls % 5, h, w)
+    color = rng.integers(40, 255, 3)
+    color2 = np.clip(color + rng.integers(60, 120) * rng.choice((-1, 1)), 0, 255)
+    yy, xx = np.mgrid[0:h, 0:w]
+    period = max(3, min(h, w) // 4)
+    stripes = ((yy if cls % 10 < 5 else xx) // period) % 2 == 0
+    region = img[y1:y2, x1:x2]
+    region[m & stripes] = color
+    region[m & ~stripes] = color2
+
+
 def build_synthetic_dataset(
     out_dir: Path,
     name: str = "synthetic-zipf",
@@ -75,14 +112,24 @@ def build_synthetic_dataset(
     zipf_a: float = 1.01,
     seed: int = 0,
     path_prefix: str = "",
+    hard: Optional[bool] = None,
 ) -> DatasetInfo:
     """Generate JPEGs + manifest with a Zipf long-tail over classes.
 
     `path_prefix` prepends recorded image paths so manifests resolve from a
     data root different from `out_dir` (e.g. KOD_DATA_ROOT_DIR).
+
+    hard (default: "hard" in `name`): color carries no class signal (class =
+    shape family x stripe orientation, random colors), objects are smaller
+    with occlusion, and the background is textured clutter. The easy corpus
+    saturates (mosaic on/off both reach ~0.70 mAP); the hard variant leaves
+    headroom so the reference's augmentation ORDERINGS (README.md:64-290)
+    can be reproduced qualitatively (see ACCURACY.md).
     """
     from PIL import Image
 
+    if hard is None:
+        hard = "hard" in name
     out_dir = Path(out_dir)
     img_dir = out_dir / name
     img_dir.mkdir(parents=True, exist_ok=True)
@@ -95,17 +142,35 @@ def build_synthetic_dataset(
 
     samples: List[SampleInfo] = []
     for i in range(num_images):
-        img = rng.integers(90, 140, (image_size, image_size, 3)).astype(np.uint8)
+        if hard:
+            # textured background: upsampled low-res noise + clutter blobs
+            low = rng.integers(60, 190, (8, 8, 3)).astype(np.uint8)
+            img = np.asarray(
+                Image.fromarray(low).resize((image_size, image_size))
+            ).copy()
+            for _ in range(int(rng.integers(2, 6))):
+                cw = int(rng.integers(image_size // 16, image_size // 6))
+                cx = int(rng.integers(0, image_size - cw))
+                cy = int(rng.integers(0, image_size - cw))
+                img[cy : cy + cw, cx : cx + cw] = rng.integers(40, 255, 3)
+        else:
+            img = rng.integers(90, 140, (image_size, image_size, 3)).astype(
+                np.uint8
+            )
         n_obj = int(rng.integers(1, max_objects + 1))
         targets: List[TargetInfo] = []
         for _ in range(n_obj):
             cls = int(rng.choice(num_classes, p=pmf))
-            w = int(rng.integers(image_size // 8, image_size // 2))
-            h = int(rng.integers(image_size // 8, image_size // 2))
+            if hard:
+                w = int(rng.integers(image_size // 10, image_size // 3))
+                h = int(rng.integers(image_size // 10, image_size // 3))
+            else:
+                w = int(rng.integers(image_size // 8, image_size // 2))
+                h = int(rng.integers(image_size // 8, image_size // 2))
             x1 = int(rng.integers(0, image_size - w))
             y1 = int(rng.integers(0, image_size - h))
             box = (x1, y1, x1 + w, y1 + h)
-            _draw_shape(img, cls, box, rng)
+            (_draw_hard_shape if hard else _draw_shape)(img, cls, box, rng)
             targets.append(
                 TargetInfo(
                     bounding_box=XYXYBox(*[float(v) for v in box]),

@@ -123,7 +123,9 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
             out_dir,
             name=f"{name}-{split}",
             num_images=int(
-                cfg.get("synthetic_images", 400 if split == "train" else 100)
+                cfg.get("synthetic_val_images", cfg.get("synthetic_images", 100))
+                if split != "train"
+                else cfg.get("synthetic_images", 400)
             ),
             seed=0 if split == "train" else 1,
             path_prefix=str(out_dir.relative_to(get_root_dir())),
