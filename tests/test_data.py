@@ -358,3 +358,31 @@ def test_color_transforms_run():
     # p=0 -> identity
     out0 = random_color_transforms(s.image.copy(), rng, p=0.0)
     np.testing.assert_array_equal(out0, s.image)
+
+
+def test_synthetic_hard_variant(tmp_path):
+    """Hard corpus: color carries no class signal (random per instance);
+    class identity = shape family x stripe orientation (synthetic.py)."""
+    from object_detection_cib_tpu.data.synthetic import build_synthetic_dataset
+
+    info = build_synthetic_dataset(
+        tmp_path, name="synthetic-zipf-hard", num_images=6, seed=3
+    )
+    assert len(info.samples) == 6
+    assert len(info.classes) == 10
+    # long-tail preserved
+    counts = info.get_instance_count()
+    assert counts[info.classes[0]] >= counts[info.classes[-1]]
+    # images decode and differ from the easy variant's flat background
+    from PIL import Image
+    import numpy as np
+
+    img = np.asarray(Image.open(tmp_path / info.samples[0].image_path))
+    assert img.shape == (320, 320, 3)
+    assert img.std() > 20  # textured, not flat
+    # name-based auto-detection: "hard" in name flips the generator
+    easy = build_synthetic_dataset(
+        tmp_path, name="synthetic-zipf", num_images=2, seed=3
+    )
+    e = np.asarray(Image.open(tmp_path / easy.samples[0].image_path))
+    assert not np.array_equal(img[:8, :8], e[:8, :8])
