@@ -1,24 +1,32 @@
 #!/bin/bash
-# Reproduce the reference README's experiment ORDERINGS on the synthetic
-# long-tailed corpus (ACCURACY.md capstone recipe): 9 presets, one seed,
-# yolov5s @416, 60 epochs, production device pipeline with HBM-resident
-# dataset. Results land in runs/orderings/<name>/csv/metrics.csv.
+# Reproduce the reference README's experiment ORDERINGS (README.md:64-290)
+# on the hard synthetic long-tailed corpus: 9 presets, one seed, yolov5s
+# @416, production device pipeline with HBM-resident dataset.
+#
+# Corpus: synthetic-zipf-hard (data/synthetic.py) — color carries no class
+# signal, textured clutter, and scale-shifted splits (train = large objects,
+# val = full scale range) so the multi-scale augmentations (mosaic/mixup)
+# matter the way they do on COCO-scale data. The easy corpus saturates
+# (mosaic on/off both ~0.70 mAP) and cannot express the orderings.
+#
+# Results land in runs/orderings/<name>/csv/metrics.csv; collect with
+# tools/collect_orderings.py.
 set -u
 cd /root/repo
-export PYTHONPATH=/root/repo:$PYTHONPATH
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 
-COMMON="dataset_name=synthetic-zipf +data.synthetic_images=600
-  data.batch_size=64 data.pipeline=device +data.device_cache=True
-  data.enable_ram_cache=True trainer.max_epochs=60
-  trainer.check_val_every_n_epoch=10 hydra=static print_config=False
-  seed=2023"
+EPOCHS=${EPOCHS:-150}
+COMMON="dataset_name=synthetic-zipf-hard +data.synthetic_images=240
+  +data.synthetic_val_images=200 data.batch_size=64 data.pipeline=device
+  +data.device_cache=True data.enable_ram_cache=True
+  trainer.max_epochs=$EPOCHS trainer.check_val_every_n_epoch=25
+  hydra=static print_config=False seed=2023"
 
 run() {
   name=$1; shift
   echo "=== $name: $* $(date +%H:%M:%S)"
   timeout 5400 python -m object_detection_cib_tpu.cli.train $COMMON \
-    paths.output_dir=runs/orderings/$name "$@" 2>&1 | tail -3
+    paths.output_dir=runs/orderings/$name "$@" 2>&1 | grep -E "^\[epoch" | tail -2
   echo "=== $name done rc=$? $(date +%H:%M:%S)"
 }
 
