@@ -105,7 +105,22 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
         )
     cache_dir = cfg.get("dataset_cache_dir")
     try:
-        return deserialize_cached_dataset(name, split, cache_dir)
+        info = deserialize_cached_dataset(name, split, cache_dir)
+        if name.startswith("synthetic"):
+            # an explicitly requested corpus size must win over a stale
+            # cached manifest of a different size (else synthetic_images=N
+            # is silently ignored once any cache exists)
+            want = (
+                cfg.get("synthetic_images")
+                if split == "train"
+                else cfg.get("synthetic_val_images", cfg.get("synthetic_images"))
+            )
+            if want is not None and len(info.samples) != int(want):
+                raise FileNotFoundError(
+                    f"cached {name}-{split} has {len(info.samples)} samples, "
+                    f"requested {want}; rebuilding"
+                )
+        return info
     except FileNotFoundError as e:
         if not name.startswith("synthetic"):
             if not registered:

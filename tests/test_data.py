@@ -386,3 +386,19 @@ def test_synthetic_hard_variant(tmp_path):
     )
     e = np.asarray(Image.open(tmp_path / easy.samples[0].image_path))
     assert not np.array_equal(img[:8, :8], e[:8, :8])
+
+
+def test_synthetic_size_mismatch_rebuilds(tmp_path, monkeypatch):
+    """An explicit synthetic_images=N must win over a stale cached manifest
+    of a different size (trainer._load_dataset)."""
+    monkeypatch.setenv("KOD_DATA_ROOT_DIR", str(tmp_path))
+    from object_detection_cib_tpu.train.trainer import _load_dataset
+
+    a = _load_dataset("synthetic-zipf", "train", {"synthetic_images": 6})
+    assert len(a.samples) == 6
+    # cached size reused when no explicit request
+    b = _load_dataset("synthetic-zipf", "train", {})
+    assert len(b.samples) == 6
+    # explicit mismatch triggers rebuild
+    c = _load_dataset("synthetic-zipf", "train", {"synthetic_images": 9})
+    assert len(c.samples) == 9
