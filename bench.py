@@ -46,8 +46,11 @@ def make_fake_batch(B, img, T, nc, seed=0):
     )
 
 
+PEAK_TFLOPS_BF16 = 197.0  # v5e
+
+
 def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
-                remat=None):
+                remat=None, want_flops=False):
     from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
     from object_detection_cib_tpu.models.yolov5 import build_network
     from object_detection_cib_tpu.train.optim import OptimizerConfig, SmartSGD
@@ -65,6 +68,14 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
         donate_argnums=(0,),
     )
     b = make_fake_batch(batch, img, 60, nc)
+
+    flops_per_step = None
+    if want_flops:
+        try:
+            cost = step.lower(state, b).compile().cost_analysis()
+            flops_per_step = float(cost.get("flops", 0.0))
+        except Exception:
+            pass
 
     for _ in range(warmup_steps):
         state, metrics = step(state, b)
@@ -86,7 +97,15 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
     dt = (t2 - t1) / (steps - n1)  # slope: cancels fetch RTT
     dt = max(dt, 1e-6)
     n_chips = jax.device_count()
-    return batch / dt / n_chips, float(metrics.total)
+    ips = batch / dt / n_chips
+    if want_flops and flops_per_step:
+        tflops = flops_per_step / dt / 1e12
+        return ips, float(metrics.total), {
+            "tflops_per_sec": round(tflops, 1),
+            "mfu": round(tflops / PEAK_TFLOPS_BF16, 4),
+            "gflops_per_image": round(flops_per_step / batch / 1e9, 1),
+        }
+    return ips, float(metrics.total)
 
 
 def bench_nms(img=640, nc=10, batch=8, impl="auto"):
@@ -123,13 +142,17 @@ def main():
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--size", default="s", choices=["n", "s", "m", "l"])
     ap.add_argument("--skip-nms", action="store_true")
     ap.add_argument("--skip-416", action="store_true")
-    ap.add_argument("--remat", default=None, choices=[None, "conv_out", "nothing"])
+    ap.add_argument("--skip-sizes", action="store_true",
+                    help="skip the m/l MFU characterization runs")
+    ap.add_argument("--remat", default=None, choices=["conv_out", "nothing"])
     args = ap.parse_args()
 
-    ips, last_loss = bench_train(
-        img=args.img, batch=args.batch, steps=args.steps, remat=args.remat
+    ips, last_loss, flops = bench_train(
+        img=args.img, batch=args.batch, steps=args.steps, size=args.size,
+        remat=args.remat, want_flops=True,
     )
     nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
     ips_416 = None
@@ -137,11 +160,28 @@ def main():
         # the reference's actual training recipe resolution
         # (kod/configs/data/default.yaml:10)
         ips_416, _ = bench_train(
-            img=416, batch=args.batch, steps=args.steps, remat=args.remat
+            img=416, batch=args.batch, steps=args.steps, size=args.size,
+            remat=args.remat,
         )
 
+    # m/l characterization: the s-variant @640 is HBM-bandwidth-bound by its
+    # own arithmetic intensity (ROOFLINE.md); the wider variants show the
+    # framework loads the MXU when the model has the channels for it.
+    sizes = {}
+    if not args.skip_sizes and args.size == "s":
+        for sz, sb in (("m", 96), ("l", 64)):
+            try:
+                s_ips, _, s_fl = bench_train(
+                    img=args.img, batch=sb, steps=12, size=sz, want_flops=True
+                )
+                sizes[f"size_{sz}"] = {
+                    "ips": round(s_ips, 2), "batch": sb, **(s_fl or {})
+                }
+            except Exception as e:  # OOM etc: report, don't fail the bench
+                sizes[f"size_{sz}"] = {"error": str(e)[:120]}
+
     out = {
-        "metric": "train_images_per_sec_per_chip_yolov5s_640",
+        "metric": f"train_images_per_sec_per_chip_yolov5{args.size}_{args.img}",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 2000.0, 4),
@@ -152,6 +192,8 @@ def main():
             "batch": args.batch,
             "img": args.img,
             "n_chips": jax.device_count(),
+            **(flops or {}),
+            **sizes,
         },
     }
     print(json.dumps(out))

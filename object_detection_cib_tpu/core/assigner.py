@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -181,6 +182,53 @@ def _assign_level(
         labels=labels_k,
         anchors_wh=anchors_k,
         valid=valid_k,
+    )
+
+
+def compact_level_assignment(
+    level: LevelAssignment, cap: int
+) -> LevelAssignment:
+    """Stable-compact valid slots to the front and truncate to ``cap``.
+
+    The assignment table is shape-stable at K = B*T*A*n_off but typically
+    ~2% occupied (T is the padded-target capacity); the loss's row-gather at
+    K slots has a serialized scatter-add backward on TPU that was profiled
+    at 8 ms/step @640 (scalar-core bound, ~3 GB/s). One multi-operand
+    stable sort (valid-first; vector-unit custom call, no gathers) shrinks
+    every downstream gather/scatter by K/cap.
+
+    Exact whenever n_valid <= cap; overflowing slots (monitor: compare
+    `valid.sum()` against cap) are dropped in original-order tail position.
+    """
+    K = int(level.valid.shape[0])
+    cap = min(int(cap), K)
+    keys = jnp.where(level.valid, 0, 1).astype(jnp.int32)
+    cols = (
+        keys,
+        level.sample_idx,
+        level.anchor_idx,
+        level.grid_y,
+        level.grid_x,
+        level.labels,
+        level.valid,
+        level.txywh[:, 0],
+        level.txywh[:, 1],
+        level.txywh[:, 2],
+        level.txywh[:, 3],
+        level.anchors_wh[:, 0],
+        level.anchors_wh[:, 1],
+    )
+    out = jax.lax.sort(cols, dimension=0, is_stable=True, num_keys=1)
+    (_, s, a, gy, gx, lab, v, tx, ty, tw, th, aw, ah) = [c[:cap] for c in out]
+    return LevelAssignment(
+        sample_idx=s,
+        anchor_idx=a,
+        grid_y=gy,
+        grid_x=gx,
+        txywh=jnp.stack([tx, ty, tw, th], axis=-1),
+        labels=lab,
+        anchors_wh=jnp.stack([aw, ah], axis=-1),
+        valid=v,
     )
 
 

@@ -175,7 +175,9 @@ class Prefetcher:
         return np.arange(len(self.dataset))
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        # samplers define the epoch length (repeat-factor/class-aware epochs
+        # differ from the dataset size; per-host val shards are subsets)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:

@@ -158,3 +158,17 @@ class ShuffleSampler:
 def shard_indices(indices: np.ndarray, host_id: int, num_hosts: int) -> np.ndarray:
     """Interleaved per-host shard of a global epoch index stream."""
     return np.asarray(indices)[host_id::num_hosts]
+
+
+class FixedSampler:
+    """Yield a fixed index sequence every epoch (per-host validation shards:
+    the DistributedSampler(shuffle=False) analog for the eval path)."""
+
+    def __init__(self, indices: np.ndarray):
+        self.indices = np.asarray(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def epoch_indices(self) -> np.ndarray:
+        return self.indices

@@ -124,6 +124,33 @@ class MeanAveragePrecisionEvaluator:
                 gt_boxes[i][g], gt_classes[i][g],
             )
 
+    def sync_across_processes(self):
+        """Merge per-image match stats from all hosts (multi-host validation).
+
+        Reference behavior: Lightning reduces the logged metric dict with
+        `sync_dist=True` (kod/lightning/callbacks/pycoco_map_eval.py:139-142)
+        over a rank-sharded val loader. Here each host evaluates its
+        `shard_indices` subset, then the raw per-image (scores, matched,
+        num_gt) records are all-gathered so every host computes identical —
+        and exact, not averaged — global mAP. No-op single-process.
+        """
+        import pickle
+
+        import jax
+
+        from object_detection_cib_tpu.parallel.distributed import allgather_bytes
+
+        if jax.process_count() == 1:
+            return
+        me = jax.process_index()
+        blobs = allgather_bytes(pickle.dumps(self._evals))
+        for pi, blob in enumerate(blobs):
+            if pi == me:
+                continue
+            other = pickle.loads(blob)
+            for c in range(self.num_classes):
+                self._evals[c].extend(other[c])
+
     def _ap_for_class(self, c: int) -> np.ndarray:
         """AP per IoU threshold for one class; NaN when the class has no GT."""
         evals = self._evals[c]

@@ -76,6 +76,31 @@ def rank_zero_print(*args, **kwargs):
     print(*args, **kwargs)
 
 
+def allgather_bytes(data: bytes) -> list:
+    """All-gather an arbitrary byte string from every process.
+
+    The cross-host reduction primitive behind multi-host validation
+    (reference: Lightning's `log_dict(sync_dist=True)`,
+    kod/lightning/callbacks/pycoco_map_eval.py:139-142). Two-phase because
+    `process_allgather` needs identical shapes on every process: gather
+    lengths first, then the zero-padded payloads. Single-process: identity.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [data]
+    from jax.experimental import multihost_utils
+
+    lens = multihost_utils.process_allgather(
+        np.asarray([len(data)], np.int32)
+    ).reshape(-1)
+    maxlen = int(lens.max())
+    buf = np.zeros(max(maxlen, 1), np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    return [bytes(gathered[i, : int(lens[i])].tobytes()) for i in range(len(lens))]
+
+
 def host_info():
     """(process_index, process_count, local_device_count)."""
     return jax.process_index(), jax.process_count(), jax.local_device_count()

@@ -33,8 +33,18 @@ class CheckpointManager:
             self.best_value = meta.get("best_value")
 
     def _save(self, name: str, state: TrainState):
+        # Truly async: the save runs on orbax's background thread and
+        # overlaps the next training epoch. The wait happens *before* the
+        # next save (orbax forbids overlapping saves on one checkpointer,
+        # and force=True deletes the destination first) — by which point
+        # the previous save has long finished, so the epoch path never
+        # blocks on serialization. wait_until_finished() is exposed for
+        # restore/end-of-fit.
+        self._ckpt.wait_until_finished()
         path = self.directory / name
         self._ckpt.save(path, state, force=True)
+
+    def wait_until_finished(self):
         self._ckpt.wait_until_finished()
 
     def save_last(self, state: TrainState):
@@ -63,6 +73,7 @@ class CheckpointManager:
         return better
 
     def restore(self, state_like: TrainState, name: str = "last") -> TrainState:
+        self._ckpt.wait_until_finished()
         path = self.directory / name
         return self._ckpt.restore(path, target=state_like)
 

@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from object_detection_cib_tpu.core.assigner import assign_targets
+from object_detection_cib_tpu.core.assigner import (
+    Assignment,
+    assign_targets,
+    compact_level_assignment,
+)
 from object_detection_cib_tpu.core.nms import NMSResult, non_max_suppression
 from object_detection_cib_tpu.core.types import FeatureShape, LevelAnchors
 from object_detection_cib_tpu.eval.decode import decode_predictions
@@ -59,6 +63,10 @@ class StepMetrics(NamedTuple):
     obj: jnp.ndarray
     cls: jnp.ndarray
     lr: jnp.ndarray
+    # valid assignment slots dropped by loss-table compaction (0 = exact;
+    # see compact_level_assignment). Monitored per epoch by the trainer.
+    # Plain-int default: a jnp array here would init the backend at import.
+    assign_drop: Any = 0
 
 
 def create_train_state(net, rng, image_shape: FeatureShape, optimizer: SmartSGD):
@@ -88,6 +96,7 @@ def make_train_step(
     head_sharding=None,
     assign_offset_capacity: int = 3,
     remat_policy: Optional[str] = None,
+    assign_compact_slots: Optional[int] = 128,
 ):
     """Build the un-jitted train step; wrap with jit_train_step for a mesh.
 
@@ -106,6 +115,11 @@ def make_train_step(
         "conv_out": jax.checkpoint_policies.save_only_these_names("conv_out"),
         "nothing": jax.checkpoint_policies.nothing_saveable,
     }
+    if remat_policy is not None and remat_policy not in remat_policies:
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}: expected one of "
+            f"{sorted(remat_policies)} or None"
+        )
 
     def train_step(state: TrainState, batch: Batch):
         def forward(params, images):
@@ -139,14 +153,31 @@ def make_train_step(
                 assign_threshold,
                 assign_offset_capacity,
             )
+            assign_drop = jnp.zeros((), jnp.int32)
+            if assign_compact_slots:
+                # shrink the ~2%-occupied K=B*T*A*3 table before the loss's
+                # row-gather: its scatter-add backward serializes on the
+                # scalar core at ~3 GB/s (see compact_level_assignment)
+                cap = assign_compact_slots * batch.images.shape[0]
+                for lv in assignment.levels():
+                    n_valid = lv.valid.sum().astype(jnp.int32)
+                    assign_drop = assign_drop + jnp.maximum(
+                        n_valid - min(cap, int(lv.valid.shape[0])), 0
+                    )
+                assignment = Assignment(
+                    *(
+                        compact_level_assignment(lv, cap)
+                        for lv in assignment.levels()
+                    )
+                )
             lres = yolov5_loss(
                 out, assignment, image_shape, loss_params, class_weights
             )
             # total = batch_size * (box + cls + obj)  (ref exp.py:126-130)
             total = batch.images.shape[0] * lres.total
-            return total, (lres, mutated["batch_stats"])
+            return total, (lres, mutated["batch_stats"], assign_drop)
 
-        (total, (lres, new_bs)), grads = jax.value_and_grad(
+        (total, (lres, new_bs, assign_drop)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         new_params, new_opt = optimizer.update(
@@ -165,6 +196,7 @@ def make_train_step(
             obj=lres.objectness,
             cls=lres.classification,
             lr=lr_other,
+            assign_drop=assign_drop,
         )
         return new_state, metrics
 
@@ -208,12 +240,39 @@ def jit_train_step(train_step, mesh: Mesh, spatial: bool = False):
     img_sh = (
         NamedSharding(mesh, P("data", "model")) if spatial else data
     )
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(repl, Batch(img_sh, data, data, data)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    if not spatial:
+        return jitted
+
+    # Spatial (height) sharding rides GSPMD's automatic conv halo exchange,
+    # which is only well-behaved when every pyramid level keeps >=2 rows per
+    # `model` shard (a 6x6/2 stem + stride-32 deepest level: a shard owning a
+    # single row of the stride-32 map needs its entire receptive field from
+    # neighbours, and GSPMD's halo rewrite silently produces wrong gradients
+    # there — measured, see STATUS.md known limitation 3). Check statically
+    # at dispatch: image height H must satisfy H/32 divisible by the model
+    # axis with quotient >= 2, i.e. H >= 64*model and H % (32*model) == 0.
+    m = mesh.shape["model"]
+
+    def checked(state, batch):
+        h = batch.images.shape[1]
+        rows32 = h // 32
+        if h % (32 * m) != 0 or rows32 // m < 2:
+            raise ValueError(
+                f"spatial sharding: image height {h} over model axis of size "
+                f"{m} leaves the stride-32 pyramid level with "
+                f"{rows32 / m:.2f} rows per shard; need an integer >= 2 "
+                f"(H % (32*model) == 0 and H >= {64 * m}). Use a smaller "
+                f"model axis or a larger resolution."
+            )
+        return jitted(state, batch)
+
+    return checked
 
 
 def jit_eval_step(eval_step, mesh: Mesh):

@@ -104,21 +104,40 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
             seed=0 if split == "train" else 1,
         )
     cache_dir = cfg.get("dataset_cache_dir")
+
+    def synth_genparams():
+        n = (
+            cfg.get("synthetic_images", 400)
+            if split == "train"
+            else cfg.get("synthetic_val_images", cfg.get("synthetic_images", 100))
+        )
+        return {"num_images": int(n), "seed": 0 if split == "train" else 1}
+
     try:
         info = deserialize_cached_dataset(name, split, cache_dir)
         if name.startswith("synthetic"):
-            # an explicitly requested corpus size must win over a stale
-            # cached manifest of a different size (else synthetic_images=N
-            # is silently ignored once any cache exists)
-            want = (
+            # An explicitly requested corpus size must win over a stale
+            # cached manifest of a different size, and a cache built with
+            # different generation params (seed) but the same count must not
+            # be silently reused: compare against the sidecar genparams
+            # manifest written at build time (count-only fallback for
+            # pre-sidecar caches).
+            want = synth_genparams()
+            recorded = _read_genparams(name, split, cache_dir)
+            if recorded is not None and recorded != want:
+                raise FileNotFoundError(
+                    f"cached {name}-{split} was generated with {recorded}, "
+                    f"requested {want}; rebuilding"
+                )
+            explicit = (
                 cfg.get("synthetic_images")
                 if split == "train"
                 else cfg.get("synthetic_val_images", cfg.get("synthetic_images"))
             )
-            if want is not None and len(info.samples) != int(want):
+            if explicit is not None and len(info.samples) != int(explicit):
                 raise FileNotFoundError(
                     f"cached {name}-{split} has {len(info.samples)} samples, "
-                    f"requested {want}; rebuilding"
+                    f"requested {explicit}; rebuilding"
                 )
         return info
     except FileNotFoundError as e:
@@ -134,20 +153,39 @@ def _load_dataset(name: str, split: str, cfg: dict) -> DatasetInfo:
         from object_detection_cib_tpu.utils.fs import get_root_dir
 
         out_dir = get_default_datasets_dir()
+        gen = synth_genparams()
         info = build_synthetic_dataset(
             out_dir,
             name=f"{name}-{split}",
-            num_images=int(
-                cfg.get("synthetic_val_images", cfg.get("synthetic_images", 100))
-                if split != "train"
-                else cfg.get("synthetic_images", 400)
-            ),
-            seed=0 if split == "train" else 1,
+            num_images=gen["num_images"],
+            seed=gen["seed"],
             path_prefix=str(out_dir.relative_to(get_root_dir())),
         )
         info = info._replace(name=name)
         serialize_cached_dataset(info, split, cache_dir)
+        _write_genparams(name, split, cache_dir, gen)
         return info
+
+
+def _genparams_path(name: str, split: str, cache_dir) -> Path:
+    from object_detection_cib_tpu.utils.fs import get_default_dataset_cache_dir
+
+    base = Path(cache_dir) if cache_dir else get_default_dataset_cache_dir()
+    return base / f"kod-{name}-{split}.genparams.json"
+
+
+def _read_genparams(name: str, split: str, cache_dir):
+    p = _genparams_path(name, split, cache_dir)
+    try:
+        return json.loads(p.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_genparams(name: str, split: str, cache_dir, gen: dict) -> None:
+    p = _genparams_path(name, split, cache_dir)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(gen))
 
 
 def _compute_loss_weights(info: DatasetInfo) -> np.ndarray:
@@ -311,6 +349,7 @@ class Trainer:
                 self.assign_threshold,
                 assign_offset_capacity=self.assign_offset_capacity,
                 remat_policy=mcfg.get("remat_policy") or None,
+                assign_compact_slots=mcfg.get("assign_compact_slots", 128),
             ),
             self.mesh,
         )
@@ -469,12 +508,67 @@ class Trainer:
         )
 
     def _val_prefetcher(self) -> Prefetcher:
+        sampler = None
+        if jax.process_count() > 1:
+            # rank-sharded validation: each host evaluates a disjoint subset
+            # (reference: Lightning shards the val loader per rank,
+            # kod/lightning/data_module.py:146-158); match stats are merged
+            # in validate() via evaluator.sync_across_processes()
+            from object_detection_cib_tpu.data.samplers import (
+                FixedSampler,
+                shard_indices,
+            )
+
+            sampler = FixedSampler(
+                shard_indices(
+                    np.arange(len(self.val_ds)),
+                    jax.process_index(),
+                    jax.process_count(),
+                )
+            )
         return Prefetcher(
             self.val_ds,
             self.batch_size,
             self.max_targets,
+            sampler=sampler,
             num_threads=self.num_workers,
             drop_last=False,
+        )
+
+    def _local_eval_step(self):
+        """Eval step over host-local devices only.
+
+        Validation is embarrassingly parallel across the rank-sharded val
+        subsets — no collectives — so under multi-process SPMD each host
+        runs its shard on its own devices (unequal per-host batch counts
+        would deadlock a global-mesh program). Params/batch-stats are
+        fully replicated already; re-placing the local copy onto the local
+        mesh is a device-to-device put.
+        """
+        if jax.process_count() == 1:
+            return self.eval_step, self.state.params, self.state.batch_stats
+        if getattr(self, "_local_eval", None) is None:
+            local_mesh = make_mesh(devices=jax.local_devices())
+            mcfg = self.cfg.get("model", {})
+            self._local_eval = jit_eval_step(
+                make_eval_step(
+                    self.net,
+                    self.anchors,
+                    conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
+                    iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
+                    max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
+                ),
+                local_mesh,
+            )
+            self._local_mesh = local_mesh
+        repl = NamedSharding(self._local_mesh, P())
+        localize = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(np.asarray(x), repl), t
+        )
+        return (
+            self._local_eval,
+            localize(self.state.params),
+            localize(self.state.batch_stats),
         )
 
     def _log(self, metrics: Dict[str, float], step: int):
@@ -497,19 +591,23 @@ class Trainer:
         # one-deep software pipeline: the device evaluates batch i+1 while the
         # host converts + accumulates batch i's mAP stats (jax dispatch is
         # async; np.asarray is the sync point, so it's deferred one batch)
+        eval_step, eval_params, eval_bstats = self._local_eval_step()
+        eval_mesh = self._local_mesh if jax.process_count() > 1 else self.mesh
+        data_sh = NamedSharding(eval_mesh, P("data"))
+        ndev = eval_mesh.devices.size
         pending = None
         for bi, batch in enumerate(pf):
             if bi >= n_batches:
                 break
             B = batch.images.shape[0]
-            pad = (-B) % self.mesh.devices.size
+            pad = (-B) % ndev
             images = batch.images
             if pad:
                 images = jnp.concatenate(
                     [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
                 )
-            images = shard_batch_pytree(images, self.mesh)
-            res = self.eval_step(self.state.params, self.state.batch_stats, images)
+            images = jax.device_put(images, data_sh)
+            res = eval_step(eval_params, eval_bstats, images)
             if pending is not None:
                 pres, pB, pbatch = pending
                 pres = jax.tree.map(lambda x, n=pB: np.asarray(x)[:n], pres)
@@ -519,6 +617,7 @@ class Trainer:
             pres, pB, pbatch = pending
             pres = jax.tree.map(lambda x, n=pB: np.asarray(x)[:n], pres)
             evaluator.add_batch(pres, pbatch.boxes, pbatch.labels, pbatch.mask)
+        evaluator.sync_across_processes()
         metrics = evaluator.results_dict()
         self._print_map_table(metrics)
         return metrics
@@ -629,6 +728,15 @@ class Trainer:
             # target-capacity overflow accounting: samples whose padded
             # target slots ran out this epoch (the reference drops nothing;
             # we surface the drop count instead of silently truncating)
+            # loss-table compaction overflow (last step's count is a cheap
+            # proxy: nonzero at any point means the cap is too small)
+            adrop = int(m.assign_drop) if hasattr(m, "assign_drop") else 0
+            if adrop:
+                rank_zero_print(
+                    f"[epoch {epoch}] WARNING: {adrop} valid assignment "
+                    "slots dropped by loss-table compaction in the last "
+                    "step; raise model.assign_compact_slots"
+                )
             dropped = getattr(batches, "overflow_total", 0) - overflow_base
             if dropped:
                 rank_zero_print(
@@ -672,6 +780,11 @@ class Trainer:
         if prof_active:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
+
+        if self.ckpt:
+            # saves are async (overlap the next epoch); drain before
+            # returning so callers see complete checkpoints on disk
+            self.ckpt.wait_until_finished()
 
         return last_val
 

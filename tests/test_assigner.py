@@ -146,3 +146,87 @@ def test_jit_and_shapes_static():
     K = 2 * 7 * 1 * 3  # default offset capacity is the compacted 3-slot form
     assert res.ll.sample_idx.shape == (K,)
     assert res.ll.txywh.shape == (K, 4)
+
+
+def test_compact_assignment_preserves_loss():
+    """Compacted table (valid-first stable sort, truncated) yields the
+    identical loss + gradient whenever n_valid <= cap."""
+    from object_detection_cib_tpu.core.assigner import compact_level_assignment
+    from object_detection_cib_tpu.core.types import default_anchors
+    from object_detection_cib_tpu.models.yolov5 import DetectionHeadResult, Yolov5NetworkResult
+    from object_detection_cib_tpu.train.loss import yolov5_loss
+    from object_detection_cib_tpu.core.assigner import Assignment
+
+    rng = np.random.default_rng(3)
+    B, T, nc, img = 3, 9, 6, 64
+    boxes = np.zeros((B, T, 4), np.float32)
+    labels = rng.integers(0, nc, (B, T)).astype(np.int32)
+    mask = np.zeros((B, T), bool)
+    for b in range(B):
+        for t in range(rng.integers(2, T)):
+            x, y = rng.uniform(2, img - 30, 2)
+            w, h = rng.uniform(6, 24, 2)
+            boxes[b, t] = [x, y, x + w, y + h]
+            mask[b, t] = True
+    anchors = default_anchors()
+    fs = FeatureShape(img, img)
+    assignment = assign_targets(
+        jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask), fs, anchors
+    )
+    cap = 64 * B
+    compacted = Assignment(
+        *(compact_level_assignment(lv, cap) for lv in assignment.levels())
+    )
+    for lv, cv in zip(assignment.levels(), compacted.levels()):
+        n_valid = int(np.asarray(lv.valid).sum())
+        assert n_valid <= cap
+        assert int(np.asarray(cv.valid).sum()) == n_valid
+        # compacted valid block equals the valid subset, in original order
+        ov = np.asarray(lv.valid)
+        for field in ("sample_idx", "anchor_idx", "grid_y", "grid_x", "labels"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lv, field))[ov],
+                np.asarray(getattr(cv, field))[:n_valid],
+            )
+        np.testing.assert_allclose(
+            np.asarray(lv.txywh)[ov], np.asarray(cv.txywh)[:n_valid]
+        )
+
+    def make_net(seed):
+        r = np.random.default_rng(seed)
+        levels = []
+        for s in (8, 16, 32):
+            g = img // s
+            levels.append(
+                DetectionHeadResult.from_parts(
+                    box=jnp.asarray(r.normal(size=(B, g, g, 3, 4)), jnp.float32),
+                    obj=jnp.asarray(r.normal(size=(B, g, g, 3, 1)), jnp.float32),
+                    cls=jnp.asarray(r.normal(size=(B, g, g, 3, nc)), jnp.float32),
+                )
+            )
+        return Yolov5NetworkResult(*levels)
+
+    net = make_net(11)
+    l_full = yolov5_loss(net, assignment, fs)
+    l_comp = yolov5_loss(net, compacted, fs)
+    np.testing.assert_allclose(
+        float(l_full.total), float(l_comp.total), rtol=1e-6
+    )
+
+    # gradients w.r.t. the prediction maps match too
+    def tot(netres, asg):
+        r = yolov5_loss(netres, asg, fs)
+        return r.total
+
+    raws = [lv.raw for lv in net]
+
+    def tot_from_raws(rs, asg):
+        n2 = Yolov5NetworkResult(
+            *(lv._replace(raw=r) for lv, r in zip(net, rs))
+        )
+        return tot(n2, asg)
+
+    g_full = jax.grad(lambda rs: tot_from_raws(rs, assignment))(raws)
+    g_comp = jax.grad(lambda rs: tot_from_raws(rs, compacted))(raws)
+    for a, b in zip(g_full, g_comp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -260,5 +260,64 @@ def test_fuzz_coco_map():
         exp = ref_coco_accumulate(images, nc, (0.3, 0.5, 0.75, 0.9))
         got = np.stack([ev._ap_for_class(c) for c in range(nc)])
         np.testing.assert_allclose(got, exp, atol=1e-6, equal_nan=True)
+        # second, independent oracle: verbatim pycocotools transcription
+        # (tests/oracle_pycoco.py) — a shared misreading of COCOeval
+        # semantics cannot pass both
+        from oracle_pycoco import pycoco_ap
+
+        exp2 = pycoco_ap(images, nc, (0.3, 0.5, 0.75, 0.9))
+        np.testing.assert_allclose(got, exp2, atol=1e-6, equal_nan=True)
         n_datasets += 1
     assert n_datasets == 120
+
+
+def test_coco_map_golden_cases():
+    """Hand-computable COCOeval golden values through both oracles and the
+    production evaluator."""
+    from oracle_pycoco import pycoco_ap
+
+    thrs = (0.5,)
+
+    def ap_of(images, nc=1):
+        ev = MeanAveragePrecisionEvaluator(nc, ious=thrs)
+        for img in images:
+            ev.add_image(
+                img["dt_boxes"], img["dt_scores"], img["dt_cls"],
+                img["gt_boxes"], img["gt_cls"],
+            )
+        got = np.stack([ev._ap_for_class(c) for c in range(nc)])
+        exp = pycoco_ap(images, nc, thrs)
+        np.testing.assert_allclose(got, exp, atol=1e-9, equal_nan=True)
+        return got
+
+    box = np.asarray([[10.0, 10.0, 50.0, 50.0]])
+    # 1 gt, 1 perfect det -> AP 1.0
+    img = dict(dt_boxes=box, dt_scores=np.asarray([0.9]),
+               dt_cls=np.zeros(1, int), gt_boxes=box, gt_cls=np.zeros(1, int))
+    np.testing.assert_allclose(ap_of([img]), [[1.0]])
+
+    # 1 gt; FP ranked above the TP: precision at recall>0 is 1/2, and the
+    # 101-pt interpolation includes recall=0 -> AP = 0.5 exactly
+    img = dict(
+        dt_boxes=np.vstack([box + 200.0, box]),
+        dt_scores=np.asarray([0.95, 0.9]),
+        dt_cls=np.zeros(2, int), gt_boxes=box, gt_cls=np.zeros(1, int),
+    )
+    np.testing.assert_allclose(ap_of([img]), [[0.5]])
+
+    # 2 gts, only one detected -> recall caps at 0.5: 51 of 101 recall
+    # points get precision 1, rest 0 -> AP = 51/101
+    img = dict(
+        dt_boxes=box, dt_scores=np.asarray([0.9]), dt_cls=np.zeros(1, int),
+        gt_boxes=np.vstack([box, box + 300.0]), gt_cls=np.zeros(2, int),
+    )
+    np.testing.assert_allclose(ap_of([img]), [[51.0 / 101.0]])
+
+    # no dets at all -> AP 0; class with no gt -> NaN
+    img = dict(
+        dt_boxes=np.zeros((0, 4)), dt_scores=np.zeros(0),
+        dt_cls=np.zeros(0, int), gt_boxes=box, gt_cls=np.zeros(1, int),
+    )
+    out = ap_of([img], nc=2)
+    np.testing.assert_allclose(out[0], [0.0])
+    assert np.isnan(out[1]).all()

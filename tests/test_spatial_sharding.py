@@ -79,3 +79,38 @@ def test_dp_sp_matches_single_device():
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params))
     )
     assert worst < 1e-4, worst
+
+
+def test_spatial_guard_rejects_thin_shards():
+    """H=128 over model=2 leaves the stride-32 level with 2 rows/shard
+    (boundary: allowed); H=64 leaves 1 row/shard (rejected with the mesh
+    math in the message); H=96 is non-divisible at stride-32 (rejected)."""
+    net = build_network(NC, "n")
+    opt = SmartSGD(OptimizerConfig(max_epochs=10), steps_per_epoch=10)
+    mesh = make_mesh(num_data=4, num_model=2)
+    head_sh = NamedSharding(mesh, P("data"))
+
+    def make(img):
+        shape = FeatureShape(img, img)
+        step = make_train_step(net, default_anchors(), shape, opt,
+                               head_sharding=head_sh)
+        jstep = jit_train_step(step, mesh, spatial=True)
+        state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+        rng = np.random.default_rng(0)
+        batch = Batch(
+            jnp.asarray(rng.random((8, img, img, 3), np.float32)),
+            jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]] * 8),
+            jnp.zeros((8, 1), jnp.int32),
+            jnp.ones((8, 1), bool),
+        )
+        return jstep, state, batch
+
+    for bad in (64, 96):
+        jstep, state, batch = make(bad)
+        with pytest.raises(ValueError, match="rows per shard"):
+            jstep(state, batch)
+
+    # boundary case compiles and runs: 128/32/2 == 2 rows per shard
+    jstep, state, batch = make(128)
+    _, metrics = jstep(state, batch)
+    assert np.isfinite(float(metrics.total))

@@ -25,9 +25,18 @@ COMMON="dataset_name=synthetic-zipf-hard +data.synthetic_images=240
 run() {
   name=$1; shift
   echo "=== $name: $* $(date +%H:%M:%S)"
+  local log=runs/orderings/$name.log
+  mkdir -p runs/orderings
   timeout 5400 python -m object_detection_cib_tpu.cli.train $COMMON \
-    paths.output_dir=runs/orderings/$name "$@" 2>&1 | grep -E "^\[epoch" | tail -2
-  echo "=== $name done rc=$? $(date +%H:%M:%S)"
+    paths.output_dir=runs/orderings/$name "$@" >"$log" 2>&1
+  local rc=$?
+  grep -E "^\[epoch" "$log" | tail -2
+  if [ $rc -ne 0 ]; then
+    echo "=== $name FAILED rc=$rc $(date +%H:%M:%S); last output:"
+    tail -15 "$log"
+  else
+    echo "=== $name done rc=0 $(date +%H:%M:%S)"
+  fi
 }
 
 run baseline     experiment=yv5s
