@@ -50,24 +50,41 @@ PEAK_TFLOPS_BF16 = 197.0  # v5e
 
 
 def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
-                remat=None, want_flops=False):
+                remat=None, want_flops=False, s2d=False, auto_layout=False):
     from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
     from object_detection_cib_tpu.models.yolov5 import build_network
     from object_detection_cib_tpu.train.optim import OptimizerConfig, SmartSGD
     from object_detection_cib_tpu.train.steps import (
+        Batch,
         create_train_state,
         make_train_step,
     )
 
     shape = FeatureShape(img, img)
-    net = build_network(nc, size, dtype=jnp.bfloat16)
+    net = build_network(nc, size, dtype=jnp.bfloat16, stem_space_to_depth=s2d)
     opt = SmartSGD(OptimizerConfig(max_epochs=300), steps_per_epoch=100)
     state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+    in_sh = None
+    if auto_layout:
+        # let XLA pick the step's preferred input layout for the image
+        # batch and feed it pre-laid-out — removes the per-step relayout
+        # copy at jit entry (the production device pipeline emits its
+        # augmented batch in this layout the same way)
+        from jax.experimental.layout import Format, Layout
+
+        in_sh = (
+            None,
+            Batch(Format(Layout.AUTO), None, None, None),
+        )
     step = jax.jit(
         make_train_step(net, default_anchors(), shape, opt, remat_policy=remat),
         donate_argnums=(0,),
+        **({"in_shardings": in_sh} if in_sh is not None else {}),
     )
     b = make_fake_batch(batch, img, 60, nc)
+    if auto_layout:
+        fmt = step.lower(state, b).compile().input_formats[1].images
+        b = b._replace(images=jax.device_put(b.images, fmt))
 
     flops_per_step = None
     if want_flops:
@@ -148,11 +165,16 @@ def main():
     ap.add_argument("--skip-sizes", action="store_true",
                     help="skip the m/l MFU characterization runs")
     ap.add_argument("--remat", default=None, choices=["conv_out", "nothing"])
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (exact rewrite)")
+    ap.add_argument("--auto-layout", action="store_true",
+                    help="feed batch in XLA's preferred input layout")
     args = ap.parse_args()
 
     ips, last_loss, flops = bench_train(
         img=args.img, batch=args.batch, steps=args.steps, size=args.size,
-        remat=args.remat, want_flops=True,
+        remat=args.remat, want_flops=True, s2d=args.s2d,
+        auto_layout=args.auto_layout,
     )
     nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
     ips_416 = None

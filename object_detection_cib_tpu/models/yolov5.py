@@ -326,6 +326,7 @@ class Yolov5Network(nn.Module):
     num_anchors_per_cell: int = 3
     widen_factor: float = 1.0
     deepen_factor: float = 1.0
+    stem_space_to_depth: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # bf16 recommended on TPU
 
@@ -337,6 +338,7 @@ class Yolov5Network(nn.Module):
             stages=P5_STAGES,
             deepen_factor=self.deepen_factor,
             widen_factor=self.widen_factor,
+            stem_space_to_depth=self.stem_space_to_depth,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="backbone",
@@ -385,11 +387,13 @@ def build_network(
     num_anchors_per_cell: int = 3,
     axis_name: Optional[str] = None,
     dtype: Optional[jnp.dtype] = None,
+    stem_space_to_depth: bool = False,
 ) -> Yolov5Network:
     return Yolov5Network(
         num_classes=num_classes,
         num_anchors_per_cell=num_anchors_per_cell,
         axis_name=axis_name,
         dtype=dtype,
+        stem_space_to_depth=stem_space_to_depth,
         **SIZE_VARIANTS[size],
     )

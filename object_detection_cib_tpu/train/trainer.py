@@ -24,6 +24,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from object_detection_cib_tpu.config.engine import instantiate
 from object_detection_cib_tpu.core.types import (
@@ -745,6 +746,10 @@ class Trainer:
                 )
                 self._log({"targets_dropped": float(dropped)}, global_step)
 
+            rank_zero_print(
+                f"[epoch {epoch}] train ips={ips:.1f} ({n_images} imgs in "
+                f"{dt:.2f}s)"
+            )
             if (epoch + 1) % val_every == 0 or fdr:
                 last_val = self.validate()
                 last_val["images_per_sec"] = ips
@@ -795,26 +800,29 @@ class Trainer:
         for i in idx:
             for t in self.train_info.samples[int(i)].targets:
                 counts[t.class_name] += 1
-        out = self.out_dir / f"sampler_stats_epoch{epoch}.json"
-        out.write_text(json.dumps(counts, indent=2))
+        if is_main_process():
+            out = self.out_dir / f"sampler_stats_epoch{epoch}.json"
+            out.write_text(json.dumps(counts, indent=2))
 
 
     def predict(self, out_path: Optional[Path] = None) -> list:
         """Run detection over the validation/prediction split and dump
         per-image boxes as JSON (the reference's predict_dataloader path,
         kod/lightning/data_module.py:160-174)."""
+        eval_step, eval_params, eval_bstats = self._local_eval_step()
+        eval_mesh = self._local_mesh if jax.process_count() > 1 else self.mesh
+        data_sh = NamedSharding(eval_mesh, P("data"))
         results = []
         for batch in self._val_prefetcher():
             B = batch.images.shape[0]
-            pad = (-B) % self.mesh.devices.size
+            pad = (-B) % eval_mesh.devices.size
             images = batch.images
             if pad:
                 images = jnp.concatenate(
                     [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
                 )
-            res = self.eval_step(
-                self.state.params, self.state.batch_stats,
-                shard_batch_pytree(images, self.mesh),
+            res = eval_step(
+                eval_params, eval_bstats, jax.device_put(images, data_sh)
             )
             res = jax.tree.map(lambda x: np.asarray(x)[:B], res)
             for i in range(B):
@@ -828,6 +836,22 @@ class Trainer:
                         ],
                     }
                 )
+        if jax.process_count() > 1:
+            # reassemble global order from the interleaved per-host shards
+            # (shard_indices hands host h the indices h::n, in order)
+            from object_detection_cib_tpu.parallel.distributed import (
+                allgather_bytes,
+            )
+
+            per_host = [
+                json.loads(b.decode())
+                for b in allgather_bytes(json.dumps(results).encode())
+            ]
+            iters = [iter(x) for x in per_host]
+            results = [
+                next(iters[g % len(per_host)])
+                for g in range(sum(len(x) for x in per_host))
+            ]
         if out_path is not None:
             Path(out_path).write_text(json.dumps(results))
         return results

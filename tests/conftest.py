@@ -20,3 +20,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache across test sessions: jit compiles dominate the
+# fast tier on this 1-core host (same programs recompile every run without
+# it). CPU-backend executables are cacheable since jax 0.4.30+.
+_cache = os.environ.get("JAX_TEST_COMPILATION_CACHE", "/root/.jax_test_cache")
+if _cache and _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # default policy refuses to cache on single-process CPU; override
+    jax.config.update(
+        "jax_persistent_cache_enable_xla_caches", "all"
+    )
