@@ -83,14 +83,19 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
     )
     b = make_fake_batch(batch, img, 60, nc)
     if auto_layout:
-        fmt = step.lower(state, b).compile().input_formats[1].images
+        # compile once, reuse the compiled executable (calling the jit
+        # wrapper again would re-trace and compile a second time under
+        # AUTO layouts)
+        compiled = step.lower(state, b).compile()
+        fmt = compiled.input_formats[1].images
         b = b._replace(images=jax.device_put(b.images, fmt))
+        step = compiled
 
     flops_per_step = None
     if want_flops:
         try:
-            cost = step.lower(state, b).compile().cost_analysis()
-            flops_per_step = float(cost.get("flops", 0.0))
+            compiled = step if auto_layout else step.lower(state, b).compile()
+            flops_per_step = float(compiled.cost_analysis().get("flops", 0.0))
         except Exception:
             pass
 

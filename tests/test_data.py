@@ -402,3 +402,56 @@ def test_synthetic_size_mismatch_rebuilds(tmp_path, monkeypatch):
     # explicit mismatch triggers rebuild
     c = _load_dataset("synthetic-zipf", "train", {"synthetic_images": 9})
     assert len(c.samples) == 9
+
+
+def test_cache_reference_pickle_fixture():
+    """Frozen byte-stream fixture whose GLOBAL opcodes carry the reference's
+    exact module paths (kod.data.cache.*, kod.core.bbox.boxes.
+    XYXYBoundingBox — ref cache.py:21-52, core/bbox/boxes.py:67-71): a real
+    reference-generated coco-zipf cache is a tested load path, not an
+    inferred one. No kod modules exist in this process; the remapping
+    unpickler must resolve every class."""
+    import pickletools
+    import shutil
+    import sys
+    from pathlib import Path
+
+    from object_detection_cib_tpu.data.cache import (
+        DatasetInfo,
+        SampleInfo,
+        TargetInfo,
+        XYXYBox,
+        deserialize_cached_dataset,
+    )
+
+    fixture = Path(__file__).parent / "fixtures" / "kod-synthetic-ref-train.pkl"
+    data = fixture.read_bytes()
+    # the stream genuinely references the kod module paths
+    names = " ".join(
+        str(arg) for op, arg, pos in pickletools.genops(data)
+        if arg is not None
+    )
+    assert "kod.data.cache" in names and "kod.core.bbox.boxes" in names
+    assert not any(m == "kod" or m.startswith("kod.") for m in sys.modules)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        shutil.copy(fixture, Path(td) / "kod-coco-zipf-train.pkl")
+        info = deserialize_cached_dataset("coco-zipf", "train", Path(td))
+
+    assert isinstance(info, DatasetInfo)
+    assert info.name == "coco-zipf"
+    assert info.classes == ["person", "car", "boat", "zürich-tram"]
+    assert len(info.samples) == 2
+    s0 = info.samples[0]
+    assert isinstance(s0, SampleInfo) and isinstance(s0.targets[0], TargetInfo)
+    assert isinstance(s0.targets[0].bounding_box, XYXYBox)
+    assert s0.targets[0].bounding_box == XYXYBox(0.0, 1.5, 100.25, 200.75)
+    assert s0.targets[1].class_name == "zürich-tram"
+    assert s0.image_metadata.mime_type == "image/jpeg"
+    assert info.samples[1].targets == []  # empty-targets edge case
+    assert info.date.microsecond == 123456
+    # loaded manifest drives the normal API surface
+    assert info.get_instance_count()["person"] == 1
+    assert info.filter("sub", ["person"]).samples[0].id == "img-000001"
