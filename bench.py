@@ -87,7 +87,7 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
         # wrapper again would re-trace and compile a second time under
         # AUTO layouts)
         compiled = step.lower(state, b).compile()
-        fmt = compiled.input_formats[1].images
+        fmt = compiled.input_formats[0][1].images
         b = b._replace(images=jax.device_put(b.images, fmt))
         step = compiled
 
@@ -170,10 +170,13 @@ def main():
     ap.add_argument("--skip-sizes", action="store_true",
                     help="skip the m/l MFU characterization runs")
     ap.add_argument("--remat", default=None, choices=["conv_out", "nothing"])
-    ap.add_argument("--s2d", action="store_true",
-                    help="space-to-depth stem (exact rewrite)")
-    ap.add_argument("--auto-layout", action="store_true",
-                    help="feed batch in XLA's preferred input layout")
+    ap.add_argument("--s2d", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="space-to-depth stem (exact rewrite; +0.8%%)")
+    ap.add_argument("--auto-layout", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="feed batch in XLA's preferred input layout "
+                         "(what the production device pipeline does; +1%%)")
     args = ap.parse_args()
 
     ips, last_loss, flops = bench_train(
@@ -188,7 +191,7 @@ def main():
         # (kod/configs/data/default.yaml:10)
         ips_416, _ = bench_train(
             img=416, batch=args.batch, steps=args.steps, size=args.size,
-            remat=args.remat,
+            remat=args.remat, s2d=args.s2d, auto_layout=args.auto_layout,
         )
 
     # m/l characterization: the s-variant @640 is HBM-bandwidth-bound by its
@@ -199,7 +202,9 @@ def main():
         for sz, sb in (("m", 96), ("l", 64)):
             try:
                 s_ips, _, s_fl = bench_train(
-                    img=args.img, batch=sb, steps=12, size=sz, want_flops=True
+                    img=args.img, batch=sb, steps=12, size=sz,
+                    want_flops=True, s2d=args.s2d,
+                    auto_layout=args.auto_layout,
                 )
                 sizes[f"size_{sz}"] = {
                     "ips": round(s_ips, 2), "batch": sb, **(s_fl or {})

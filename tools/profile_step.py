@@ -35,7 +35,8 @@ PEAK_HBM_GBPS = 819.0  # v5e; overridden by the plane stat when present
 PEAK_TFLOPS_BF16 = 197.0
 
 
-def build(img, batch, size="s", nc=10, remat=None):
+def build(img, batch, size="s", nc=10, remat=None, s2d=False,
+          auto_layout=False):
     import jax.numpy as jnp
 
     from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
@@ -49,15 +50,28 @@ def build(img, batch, size="s", nc=10, remat=None):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import make_fake_batch
 
+    from object_detection_cib_tpu.train.steps import Batch
+
     shape = FeatureShape(img, img)
-    net = build_network(nc, size, dtype=jnp.bfloat16)
+    net = build_network(nc, size, dtype=jnp.bfloat16, stem_space_to_depth=s2d)
     opt = SmartSGD(OptimizerConfig(max_epochs=300), steps_per_epoch=100)
     state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+    in_sh = None
+    if auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        in_sh = (None, Batch(Format(Layout.AUTO), None, None, None))
     step = jax.jit(
         make_train_step(net, default_anchors(), shape, opt, remat_policy=remat),
         donate_argnums=(0,),
+        **({"in_shardings": in_sh} if in_sh is not None else {}),
     )
     b = make_fake_batch(batch, img, 60, nc)
+    if auto_layout:
+        compiled = step.lower(state, b).compile()
+        fmt = compiled.input_formats[0][1].images
+        b = b._replace(images=jax.device_put(b.images, fmt))
+        step = compiled
     return state, step, b
 
 
@@ -201,6 +215,8 @@ def main():
     ap.add_argument("--out", default="/tmp/jaxprof")
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--remat", default=None, choices=["conv_out", "nothing"])
+    ap.add_argument("--s2d", action="store_true")
+    ap.add_argument("--auto-layout", action="store_true")
     ap.add_argument("--parse-only", action="store_true",
                     help="re-parse an existing trace dir, skip the TPU run")
     ap.add_argument("--json-out", default=None,
@@ -208,7 +224,9 @@ def main():
     args = ap.parse_args()
 
     if not args.parse_only:
-        state, step, b = build(args.img, args.batch, args.size, remat=args.remat)
+        state, step, b = build(args.img, args.batch, args.size,
+                               remat=args.remat, s2d=args.s2d,
+                               auto_layout=args.auto_layout)
         for _ in range(3):
             state, m = step(state, b)
         _ = np.asarray(jax.tree.leaves(state.params)[0])
