@@ -37,13 +37,45 @@ from object_detection_cib_tpu.ops.augment import (
     DeviceSample,
     affine_batch,
     flip_batch,
+    flip_boxes,
     hsv_batch,
     mixup_batch,
     mosaic4_batch,
+    mosaic_affine_batch,
     sample_affine_values_batch,
 )
 from object_detection_cib_tpu.train.steps import Batch
 from object_detection_cib_tpu.utils.fs import get_root_dir
+
+
+def _make_row_gather(corpus_shape):
+    """Corpus row gather: (prep, gather) pair.
+
+    prep transforms the host corpus array before device_put; gather(ds, idx)
+    -> (K,) + row_shape. On TPU the gather is a Pallas DMA kernel over a
+    pre-flattened tile-aligned corpus (XLA's mini-gather scans/re-lays-out
+    the whole corpus per call — ~20 ms at 5k images; the kernel DMAs only
+    the requested rows, 0.81 ms measured). The reshape back to image form is
+    fenced with optimization_barrier so it stays a standalone relayout
+    instead of fusing into a serialized mega-transpose (measured 50 ms when
+    fused with the mosaic group split)."""
+    from object_detection_cib_tpu.ops import pallas_gather
+
+    row_shape = tuple(corpus_shape[1:])
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and pallas_gather.supports(corpus_shape):
+
+        def prep(c):
+            return np.ascontiguousarray(c).reshape(c.shape[0], 8, -1)
+
+        def gather(ds, idx):
+            out = pallas_gather.gather_rows_flat(ds, idx)
+            out = jax.lax.optimization_barrier(out)
+            img = out.reshape((idx.shape[0],) + row_shape)
+            return jax.lax.optimization_barrier(img)
+
+        return prep, gather
+    return (lambda c: c), (lambda ds, idx: ds[idx])
 
 
 def build_device_augment_fn(
@@ -52,6 +84,7 @@ def build_device_augment_fn(
     mixup_prob: float = 0.0,
     max_targets: int = 120,
     use_mosaic: bool = True,
+    warp_precision: str = "exact",
 ):
     """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
 
@@ -83,6 +116,37 @@ def build_device_augment_fn(
 
     def augment_group(sample: DeviceSample, key) -> DeviceSample:
         k_m, k_a, k_h, k_f = jax.random.split(key, 4)
+        if use_mosaic and axis_aligned:
+            # fused canvas-free mosaic+warp (+folded flip): same RNG stream
+            # and same results as the composed path below (equivalence-
+            # tested); ~27 ms/128-batch less canvas HBM traffic @416
+            hp = aug.hsv_params
+            values = sample_affine_values_batch(
+                k_a,
+                sample.images.shape[0] // 4,
+                degrees=ap.degrees,
+                translate=ap.translate,
+                scale=ap.scale,
+                shear=ap.shear,
+                perspective=ap.perspective,
+            )
+            do = None
+            if aug.flip_lr_prob > 0:
+                do = (
+                    jax.random.uniform(k_f, (sample.images.shape[0] // 4,))
+                    < aug.flip_lr_prob
+                )
+            s = mosaic_affine_batch(
+                sample, k_m, values, target_size, flip_do=do,
+                precision=warp_precision,
+            )
+            if hp.should_aug():
+                s = s._replace(
+                    images=hsv_batch(s.images, k_h, hp.hue, hp.saturation, hp.value)
+                )
+            if do is not None:
+                s = s._replace(boxes=flip_boxes(s.boxes, do, target_size))
+            return s
         # mosaic placement + letterbox roll are exact in uint8 and 4x
         # cheaper on HBM; the f32 cast fuses into the warp's matmul read
         s = mosaic4_batch(sample, k_m, target_size) if use_mosaic else (
@@ -177,6 +241,7 @@ class DeviceDataPipeline:
         max_targets: int = 120,
         mixup_prob: float = 0.0,
         use_mosaic: bool = True,
+        warp_precision: str = "fast",
         sampler=None,
         seed: int = 0,
         root_dir: Optional[Path] = None,
@@ -202,7 +267,8 @@ class DeviceDataPipeline:
         self.pyrng = pyrandom.Random(seed)
         self.label_to_index = {c: i for i, c in enumerate(dataset_info.classes)}
         self.augment_fn = build_device_augment_fn(
-            target_size, aug_params, mixup_prob, max_targets, use_mosaic
+            target_size, aug_params, mixup_prob, max_targets, use_mosaic,
+            warp_precision=warp_precision,
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per
@@ -261,7 +327,8 @@ class DeviceDataPipeline:
             canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
             if fails:
                 raise ValueError(f"{fails} JPEG decode failures in dataset")
-        self._ds_images = jax.device_put(canvases)
+        prep, self._gather = _make_row_gather(canvases.shape)
+        self._ds_images = jax.device_put(prep(canvases))
         self._ds_sizes = jax.device_put(sizes)
         # dense per-image target arrays, precomputed once: per-step group
         # assembly becomes one numpy fancy-index instead of a Python loop
@@ -278,15 +345,17 @@ class DeviceDataPipeline:
         self._t_boxes, self._t_labels, self._t_mask = tb, tl, tm
 
         core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
+        gather = self._gather
 
         if self.mixup_prob > 0.0:
 
             @jax.jit
             def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
                                    idx2, boxes2, labels2, mask2, key):
-                p = DeviceSample(ds_imgs[idx], ds_sizes[idx], boxes, labels, mask)
-                s = DeviceSample(ds_imgs[idx2], ds_sizes[idx2], boxes2, labels2,
-                                 mask2)
+                p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], boxes,
+                                 labels, mask)
+                s = DeviceSample(gather(ds_imgs, idx2), ds_sizes[idx2], boxes2,
+                                 labels2, mask2)
                 return core(p, s, key)
 
         else:
@@ -294,7 +363,8 @@ class DeviceDataPipeline:
             @jax.jit
             def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
                                    key):
-                p = DeviceSample(ds_imgs[idx], ds_sizes[idx], boxes, labels, mask)
+                p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], boxes,
+                                 labels, mask)
                 return core(p, key)
 
         self._gather_augment = gather_and_augment
@@ -389,7 +459,11 @@ class DeviceDataPipeline:
         )
 
     # -------------------------- epoch iterator --------------------------
-    def __iter__(self) -> Iterator[Batch]:
+    def _epoch_plan(self):
+        """One epoch's sampling, exactly as the `__iter__` producer draws it:
+        (per-step group index lists, per-step mixup co-sample lists, per-step
+        RNG keys). Advances sampler/pyrng/key state identically, so the
+        fused-epoch path and the iterator path produce the same stream."""
         if self.sampler is not None:
             epoch_idx = np.asarray(self.sampler.epoch_indices())
         else:
@@ -408,25 +482,34 @@ class DeviceDataPipeline:
             )
         epoch_idx = list(epoch_idx)
         n_batches = len(epoch_idx) // self.B
+        groups, secs, keys = [], [], []
+        for bi in range(n_batches):
+            primaries = epoch_idx[bi * self.B : (bi + 1) * self.B]
+            if self.use_mosaic:
+                group = []
+                for p in primaries:
+                    four = [int(p)] + self._co_indices(3)
+                    self.pyrng.shuffle(four)
+                    group.extend(four)
+            else:
+                group = [int(p) for p in primaries]
+            self.key, k = jax.random.split(self.key)
+            sec = []
+            if self.mixup_prob > 0.0:
+                for _ in primaries:
+                    sec.extend(self._co_indices(4))
+            groups.append(group)
+            secs.append(sec)
+            keys.append(k)
+        return groups, secs, keys
+
+    def __iter__(self) -> Iterator[Batch]:
+        groups, secs, keys = self._epoch_plan()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def producer():
             try:
-                for bi in range(n_batches):
-                    primaries = epoch_idx[bi * self.B : (bi + 1) * self.B]
-                    if self.use_mosaic:
-                        group = []
-                        for p in primaries:
-                            four = [int(p)] + self._co_indices(3)
-                            self.pyrng.shuffle(four)
-                            group.extend(four)
-                    else:
-                        group = [int(p) for p in primaries]
-                    self.key, k = jax.random.split(self.key)
-                    sec = []
-                    if self.mixup_prob > 0.0:
-                        for _ in primaries:
-                            sec.extend(self._co_indices(4))
+                for group, sec, k in zip(groups, secs, keys):
                     if self._gather_augment is not None:
                         # HBM-resident mode: ship only indices + targets
                         idx = jnp.asarray(group, jnp.int32)
@@ -466,3 +549,54 @@ class DeviceDataPipeline:
             if isinstance(item, Exception):
                 raise item
             yield item
+
+    # ---------------------- fused-epoch (scan) mode ----------------------
+    def epoch_host_arrays(self):
+        """One epoch's sampling as stacked per-step arrays for the fused
+        scan: (idx, boxes, labels, mask[, idx2, boxes2, labels2, mask2],
+        keys), each with leading dim = steps. Draws through `_epoch_plan`,
+        so the stream (and the sampler/pyrng/key state advance) is identical
+        to iterating the pipeline."""
+        groups, secs, keys = self._epoch_plan()
+        idx = np.asarray(groups, np.int32)  # (steps, G)
+        b, l, m = self._group_targets(idx)
+        xs = (jnp.asarray(idx), b, l, m)
+        if self.mixup_prob > 0.0:
+            idx2 = np.asarray(secs, np.int32)
+            b2, l2, m2 = self._group_targets(idx2)
+            xs = xs + (jnp.asarray(idx2), b2, l2, m2)
+        return xs + (jnp.stack(keys),)
+
+    def build_fused_epoch_fn(self, train_step, batch_sharding=None):
+        """One XLA program per epoch: lax.scan over steps of
+        (corpus row-gather -> device augment -> train step).
+
+        Collapses the per-step augment/train program-switch and all host
+        dispatch into a single device program per epoch — on a single-core
+        TPU the two separate programs serialize anyway, and each dispatch
+        rides the remote-tunnel RTT. train_step is the UN-jitted step
+        (make_train_step output); the pipeline must be in device_cache mode.
+
+        Returns jitted `epoch_fn(state, ds_images, ds_sizes, xs) ->
+        (state', (stacked StepMetrics, stacked overflow))`.
+        """
+        assert self._gather_augment is not None, "fused mode needs device_cache"
+        ga = self._gather_augment
+
+        def epoch_fn(state, ds_imgs, ds_sizes, xs):
+            def body(st, x):
+                gx, key = x[:-1], x[-1]
+                batch, ovf = ga(ds_imgs, ds_sizes, *gx, key)
+                if batch_sharding is not None:
+                    batch = jax.tree.map(
+                        lambda a: jax.lax.with_sharding_constraint(
+                            a, batch_sharding
+                        ),
+                        batch,
+                    )
+                st, m = train_step(st, batch)
+                return st, (m, ovf)
+
+            return jax.lax.scan(body, state, xs)
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -81,24 +81,49 @@ def _box_candidates_mask(orig, proc, mask, wh_thr=2.0, ar_thr=20.0, area_thr=0.1
 # mosaic
 # ---------------------------------------------------------------------------
 
-def _mosaic_one(imgs, sizes, boxes, labels, mask, center, target_size: int):
-    """imgs (4,S,S,3), sizes (4,2), boxes (4,T,4) -> canvas (2S,2S,3) + (4T,) targets."""
-    S = target_size
-    S2 = 2 * S
+def _mosaic_placement(sizes, center, target_size: int):
+    """Per-quadrant canvas placement (ref mosaic.py:71-133).
+
+    sizes (4, 2), center (2,) -> x1a, y1a, x2a, y2a, x1b, y1b each (4,):
+    destination rectangle [x1a, x2a) x [y1a, y2a) on the 2Sx2S canvas and
+    the source-image origin (x1b, y1b) it is copied from.
+    """
+    S2 = 2 * target_size
     xc, yc = center[0], center[1]
     h = sizes[:, 0]
     w = sizes[:, 1]
-
-    # per-quadrant canvas placement (ref mosaic.py:71-133)
     x1a = jnp.stack([jnp.maximum(xc - w[0], 0), xc, jnp.maximum(xc - w[2], 0), xc])
     y1a = jnp.stack([jnp.maximum(yc - h[0], 0), jnp.maximum(yc - h[1], 0), yc, yc])
     x2a = jnp.stack([xc, jnp.minimum(xc + w[1], S2), xc, jnp.minimum(xc + w[3], S2)])
     y2a = jnp.stack([yc, yc, jnp.minimum(S2, yc + h[2]), jnp.minimum(S2, yc + h[3])])
-    # source offsets
     x1b = jnp.stack([w[0] - (x2a[0] - x1a[0]), jnp.zeros_like(xc),
                      w[2] - (x2a[2] - x1a[2]), jnp.zeros_like(xc)])
     y1b = jnp.stack([h[0] - (y2a[0] - y1a[0]), h[1] - (y2a[1] - y1a[1]),
                      jnp.zeros_like(yc), jnp.zeros_like(yc)])
+    return x1a, y1a, x2a, y2a, x1b, y1b
+
+
+def _mosaic_boxes(boxes, labels, mask, x1a, y1a, x1b, y1b, S2):
+    """Translate per-quadrant boxes onto the canvas + candidate filter."""
+    padw = (x1a - x1b).astype(jnp.float32)  # (4,)
+    padh = (y1a - y1b).astype(jnp.float32)
+    shift = jnp.stack([padw, padh, padw, padh], axis=-1)  # (4, 4)
+    b = boxes + shift[:, None, :]  # (4, T, 4)
+    T = boxes.shape[1]
+    b_flat = b.reshape(4 * T, 4)
+    m_flat = mask.reshape(4 * T)
+    l_flat = labels.reshape(4 * T)
+    trunc = jnp.clip(b_flat, 0, S2)
+    m_flat = _box_candidates_mask(b_flat, trunc, m_flat, eps=1e-7)
+    b_flat = jnp.clip(b_flat, 0, S2 - 1)
+    return b_flat, l_flat, m_flat
+
+
+def _mosaic_one(imgs, sizes, boxes, labels, mask, center, target_size: int):
+    """imgs (4,S,S,3), sizes (4,2), boxes (4,T,4) -> canvas (2S,2S,3) + (4T,) targets."""
+    S = target_size
+    S2 = 2 * S
+    x1a, y1a, x2a, y2a, x1b, y1b = _mosaic_placement(sizes, center, S)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)
@@ -127,19 +152,9 @@ def _mosaic_one(imgs, sizes, boxes, labels, mask, center, target_size: int):
         rolled = jnp.roll(padded, (dy, dx), (0, 1))
         canvas = jnp.where(inside[..., None], rolled, canvas)
 
-    # boxes: translate by (padw, padh) = (x1a - x1b, y1a - y1b)
-    padw = (x1a - x1b).astype(jnp.float32)  # (4,)
-    padh = (y1a - y1b).astype(jnp.float32)
-    shift = jnp.stack([padw, padh, padw, padh], axis=-1)  # (4, 4)
-    b = boxes + shift[:, None, :]  # (4, T, 4)
-    T = boxes.shape[1]
-    b_flat = b.reshape(4 * T, 4)
-    m_flat = mask.reshape(4 * T)
-    l_flat = labels.reshape(4 * T)
-
-    trunc = jnp.clip(b_flat, 0, S2)
-    m_flat = _box_candidates_mask(b_flat, trunc, m_flat, eps=1e-7)
-    b_flat = jnp.clip(b_flat, 0, S2 - 1)
+    b_flat, l_flat, m_flat = _mosaic_boxes(
+        boxes, labels, mask, x1a, y1a, x1b, y1b, S2
+    )
     return canvas, b_flat, l_flat, m_flat
 
 
@@ -363,8 +378,15 @@ def affine_batch(
 
         out_imgs = jax.vmap(warp_one)(sample.images, Minv)
 
-    # boxes: 4-corner transform (ref default.py:250-276)
-    b = sample.boxes  # (B, T, 4)
+    proc, new_mask = _affine_boxes(sample.boxes, sample.mask, values, M, out_size)
+    out_sizes = jnp.full((B, 2), out_size, jnp.int32)
+    return DeviceSample(out_imgs, out_sizes, proc, sample.labels, new_mask)
+
+
+def _affine_boxes(boxes, mask, values: AffineBatchValues, M, out_size: int):
+    """4-corner box transform + candidate filter (ref default.py:250-276)."""
+    B = boxes.shape[0]
+    b = boxes  # (B, T, 4)
     corners = jnp.stack(
         [
             b[..., 0], b[..., 1],
@@ -397,10 +419,166 @@ def affine_batch(
         axis=-1,
     )
     new_mask = _box_candidates_mask(
-        sample.boxes * values.scale[:, None, None], proc, sample.mask
+        boxes * values.scale[:, None, None], proc, mask
     )
-    out_sizes = jnp.full((B, 2), out_size, jnp.int32)
-    return DeviceSample(out_imgs, out_sizes, proc, sample.labels, new_mask)
+    return proc, new_mask
+
+
+# ---------------------------------------------------------------------------
+# fused mosaic + axis-aligned affine (the production fast path)
+# ---------------------------------------------------------------------------
+
+def _tap_matrix_windowed(s: jnp.ndarray, n: int, lo: jnp.ndarray,
+                         hi: jnp.ndarray):
+    """Like `_tap_matrix`, but a tap is kept only when its source index lies
+    in the per-row window [lo, hi) (both (B,) int arrays). Used by the fused
+    mosaic-warp: the window realizes the quadrant's canvas rectangle in
+    source-image coordinates."""
+    i0f = jnp.floor(s)
+    f = s - i0f
+    i0 = i0f.astype(jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
+    lo = lo[:, None]
+    hi = hi[:, None]
+    in0 = (i0 >= lo) & (i0 < hi)
+    in1 = (i0 + 1 >= lo) & (i0 + 1 < hi)
+    w0 = jnp.where(in0, 1.0 - f, 0.0)
+    w1 = jnp.where(in1, f, 0.0)
+    hit0 = j == i0[..., None]
+    hit1 = j == (i0 + 1)[..., None]
+    return w0[..., None] * hit0 + w1[..., None] * hit1
+
+
+def mosaic_affine_batch(
+    sample: DeviceSample,
+    key: jax.Array,
+    values: AffineBatchValues,
+    target_size: int,
+    flip_do: Optional[jnp.ndarray] = None,
+    precision: str = "exact",
+) -> DeviceSample:
+    """Fused 4-image mosaic + axis-aligned affine warp, canvas-free.
+
+    Computes exactly the composition
+        affine_batch(mosaic4_batch(sample, key, S), values, S,
+                     border=(-S//2, -S//2), axis_aligned=True)
+    without materializing the 2Sx2S canvas. The mosaic's per-quadrant
+    placement is an integer translation, and the separable bilinear warp is
+    linear in the canvas, so with the canvas written as
+        canvas = FILL + sum_q rect_q * (src_q - FILL)
+    the warp distributes into per-quadrant matmuls over the ORIGINAL SxS
+    source images:
+        out = FILL + sum_q  Ayq @ (img_q - FILL) @ Axq^T
+    where Axq/Ayq are the warp's 2-nonzero bilinear tap matrices with their
+    source coordinates shifted by the quadrant's integer offset and windowed
+    to the quadrant's placement rectangle (`_tap_matrix_windowed`). Tap
+    weights are bit-identical to the canvas path (integer shifts are exact
+    in f32); final pixels match up to 1 unit from summation-order rounding
+    ahead of the rint (equivalence-tested).
+
+    Replaces ~27 ms/128-batch of canvas pad/roll/select HBM traffic @416
+    with MXU work that was already being done. Boxes run through the same
+    `_mosaic_boxes` + `_affine_boxes` helpers as the unfused path —
+    bit-identical.
+
+    flip_do: optional (B//4,) bool — folds the downstream horizontal flip
+    into the x tap matrices (out[:, ::-1] == reversing Ax's output rows),
+    saving a full-image flip+select pass. Box mirroring stays in
+    `flip_batch` semantics and must be applied by the caller via
+    `flip_boxes`.
+    """
+    B, S, _, _ = sample.images.shape
+    assert B % 4 == 0
+    G = B // 4
+    S2 = 2 * target_size
+    centers = jax.random.randint(
+        key, (G, 2), target_size // 2, 2 * target_size - target_size // 2
+    )  # same draw as mosaic4_batch
+    imgs = sample.images.reshape(G, 4, S, S, 3)
+    sizes = sample.sizes.reshape(G, 4, 2)
+    boxes = sample.boxes.reshape(G, 4, -1, 4)
+    labels = sample.labels.reshape(G, 4, -1)
+    mask = sample.mask.reshape(G, 4, -1)
+
+    x1a, y1a, x2a, y2a, x1b, y1b = jax.vmap(
+        _mosaic_placement, in_axes=(0, 0, None)
+    )(sizes, centers, target_size)  # each (G, 4)
+
+    mb, ml, mm = jax.vmap(_mosaic_boxes, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+        boxes, labels, mask, x1a, y1a, x1b, y1b, S2
+    )  # (G, 4T, ...) on the canvas
+
+    # affine matrices for the canvas -> out warp (same as affine_batch with
+    # border=(-S//2, -S//2): in = 2S canvas, out = S)
+    M = _affine_matrices(values, S2, S2, target_size, target_size)
+    Minv = jnp.linalg.inv(M)
+
+    o = jnp.arange(target_size, dtype=jnp.float32)
+    if flip_do is not None:
+        # fold the horizontal output flip into the sample coordinates:
+        # flipped output column ox reads what column out-1-ox reads unflipped
+        # (cheaper than reversing the built tap matrices — a (G,4,out,S)
+        # reverse measured 2.3 ms/128-batch, this is free)
+        o = jnp.where(flip_do[:, None], target_size - 1.0 - o, o)  # (G, out)
+    z = Minv[:, 2, 2, None]
+    sx = (Minv[:, 0, 0, None] * o + Minv[:, 0, 2, None]) / z  # (G, out) canvas x
+    sy = (Minv[:, 1, 1, None] * jnp.arange(target_size, dtype=jnp.float32)
+          + Minv[:, 1, 2, None]) / z
+    # stacked per-quadrant taps (G, 4, out, S): one batched einsum per pass
+    # (4 chained matmuls + adds serialize the MXU and the accumulation)
+    Ax = jnp.stack(
+        [
+            _tap_matrix_windowed(
+                sx - (x1a[:, q] - x1b[:, q])[:, None].astype(jnp.float32),
+                S, x1b[:, q], x1b[:, q] + (x2a[:, q] - x1a[:, q]),
+            )
+            for q in range(4)
+        ],
+        axis=1,
+    )
+    Ay = jnp.stack(
+        [
+            _tap_matrix_windowed(
+                sy - (y1a[:, q] - y1b[:, q])[:, None].astype(jnp.float32),
+                S, y1b[:, q], y1b[:, q] + (y2a[:, q] - y1a[:, q]),
+            )
+            for q in range(4)
+        ],
+        axis=1,
+    )
+    # precision: "exact" reproduces the canvas path's f32 bilinear to the
+    # ulp (12 MXU passes); "fast" runs plain bf16 passes — tap weights
+    # round to 8 mantissa bits, i.e. the same accuracy class as the 5-bit
+    # fixed-point interpolation cv2 <5 used for warpAffine on uint8 (the
+    # reference's own augmentation path), at 6x less MXU work. Pixels
+    # differ from exact by at most a few units; boxes are unaffected.
+    prec = {
+        "exact": jax.lax.Precision.HIGHEST,
+        "fast": jax.lax.Precision.DEFAULT,
+    }[precision]
+    img = imgs.astype(jnp.float32) - FILL  # (G, 4, S, S, 3)
+    t = jnp.einsum("gqhwc,gqxw->gqhxc", img, Ax, precision=prec)
+    out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec)
+    out_imgs = jnp.rint(out + FILL)
+
+    proc, new_mask = _affine_boxes(mb, mm, values, M, target_size)
+    out_sizes = jnp.full((G, 2), target_size, jnp.int32)
+    return DeviceSample(out_imgs, out_sizes, proc, ml, new_mask)
+
+
+def flip_boxes(boxes: jnp.ndarray, do: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Box half of `flip_batch` (for use with mosaic_affine_batch flip_do)."""
+    wm1 = width - 1.0
+    fb = jnp.stack(
+        [
+            wm1 - boxes[..., 2],
+            boxes[..., 1],
+            wm1 - boxes[..., 0],
+            boxes[..., 3],
+        ],
+        axis=-1,
+    )
+    return jnp.where(do[:, None, None], fb, boxes)
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +629,21 @@ def hsv_batch(
             * jnp.asarray([hue, saturation, value])
             + 1.0
         )
+    def exact_floordiv(num, den):
+        """floor(num/den) for int32 arrays without integer division.
+
+        The TPU vector unit has no integer divider; XLA's `//` lowering
+        measured ~3.7 ms over the HSV planes at b=128/416px. An f32
+        reciprocal estimate + one exact-remainder correction is exact here:
+        num <= 2,089,215 is exactly representable in f32, the correctly-
+        rounded f32 quotient is within 0.125 of the true value (so floor is
+        off by at most 1), and q*den <= 2^31 keeps the remainder exact."""
+        q = jnp.floor(
+            num.astype(jnp.float32) / den.astype(jnp.float32)
+        ).astype(jnp.int32)
+        r = num - q * den
+        return q + jnp.where(r >= den, 1, 0) - jnp.where(r < 0, 1, 0)
+
     img = jnp.clip(jnp.round(images), 0, 255).astype(jnp.int32)
     # cv2 BGR2HSV on an RGB array: channel order (b,g,r) = (ch0,ch1,ch2)
     bch, gch, rch = img[..., 0], img[..., 1], img[..., 2]
@@ -460,9 +653,11 @@ def hsv_batch(
     diff = v - vmin
 
     # integer fixed-point tables, computed arithmetically (see docstring)
-    sdiv_v = jnp.where(v > 0, (2 * 1044480 + v) // jnp.maximum(2 * v, 1), 0)
+    sdiv_v = jnp.where(
+        v > 0, exact_floordiv(2 * 1044480 + v, jnp.maximum(2 * v, 1)), 0
+    )
     hdiv_d = jnp.where(
-        diff > 0, (2 * 122880 + diff) // jnp.maximum(2 * diff, 1), 0
+        diff > 0, exact_floordiv(2 * 122880 + diff, jnp.maximum(2 * diff, 1)), 0
     )
     s = (diff * sdiv_v + 2048) >> 12
 
@@ -492,20 +687,24 @@ def hsv_batch(
     vf = v.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     sector = jnp.floor(hf)
     ff = hf - sector
-    sector = sector.astype(jnp.int32) % 6
+    # h' <= 179 -> hf < 5.97, so sector is already in [0, 5]; the clamp
+    # replaces a `% 6` whose integer-modulo lowering is slow on the VPU
+    sector = jnp.minimum(sector.astype(jnp.int32), 5)
     tab0 = vf
     tab1 = vf * (1.0 - sf)
     tab2 = vf * (1.0 - sf * ff)
     tab3 = vf * (1.0 - sf * (1.0 - ff))
     # sector tables (b,g,r) per sector, standard HSV wheel (== cv2's
-    # sector_data; verified bit-exact vs cv2 in tests/test_device_augment.py)
-    bsel = jnp.stack([tab1, tab1, tab3, tab0, tab0, tab2], -1)
-    gsel = jnp.stack([tab3, tab0, tab0, tab2, tab1, tab1], -1)
-    rsel = jnp.stack([tab0, tab2, tab1, tab1, tab3, tab0], -1)
-    one_hot = jax.nn.one_hot(sector, 6, dtype=jnp.float32)
-    b_out = (bsel * one_hot).sum(-1)
-    g_out = (gsel * one_hot).sum(-1)
-    r_out = (rsel * one_hot).sum(-1)
+    # sector_data; verified bit-exact vs cv2 in tests/test_device_augment.py).
+    # Expressed as nested elementwise selects — a stack+one_hot formulation
+    # materializes three (B,H,W,6) f32 tensors (~0.5 GB each at b=128/416px,
+    # ~6 ms of pure HBM traffic); the selects fuse into one loop fusion.
+    w = jnp.where
+    b_out = w(sector < 2, tab1, w(sector == 2, tab3, w(sector < 5, tab0, tab2)))
+    g_out = w(sector == 0, tab3, w(sector < 3, tab0, w(sector == 3, tab2, tab1)))
+    r_out = w(sector == 1, tab2,
+              w((sector == 2) | (sector == 3), tab1,
+                w(sector == 4, tab3, tab0)))
     out = jnp.stack([b_out, g_out, r_out], axis=-1)  # back to (b,g,r)=(0,1,2)
     return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(images.dtype)
 

@@ -345,21 +345,20 @@ class Trainer:
         self.state = create_train_state(
             self.net, jax.random.PRNGKey(self.seed), self.image_shape, self.optimizer
         )
-        self.train_step = jit_train_step(
-            make_train_step(
-                self.net,
-                self.anchors,
-                self.image_shape,
-                self.optimizer,
-                self.loss_params,
-                self.class_weights,
-                self.assign_threshold,
-                assign_offset_capacity=self.assign_offset_capacity,
-                remat_policy=mcfg.get("remat_policy") or None,
-                assign_compact_slots=mcfg.get("assign_compact_slots", 128),
-            ),
-            self.mesh,
+        self._train_step_raw = make_train_step(
+            self.net,
+            self.anchors,
+            self.image_shape,
+            self.optimizer,
+            self.loss_params,
+            self.class_weights,
+            self.assign_threshold,
+            assign_offset_capacity=self.assign_offset_capacity,
+            remat_policy=mcfg.get("remat_policy") or None,
+            assign_compact_slots=mcfg.get("assign_compact_slots", 128),
         )
+        self.train_step = jit_train_step(self._train_step_raw, self.mesh)
+        self._fused_epoch_fn = None
         self.eval_step = jit_eval_step(
             make_eval_step(
                 self.net,
@@ -500,6 +499,7 @@ class Trainer:
                 device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
                 enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
                 device_cache=bool(dcfg.get("device_cache", False)),
+                warp_precision=dcfg.get("warp_precision", "fast"),
             )
             return self._device_pipeline
         return Prefetcher(
@@ -669,11 +669,61 @@ class Trainer:
         prof_steps = int(tcfg.get("profile_steps", 5))
         prof_active = False
 
+        # fused-epoch mode: with an HBM-resident corpus the whole epoch
+        # (corpus gather -> device augment -> train step, scanned) runs as
+        # ONE XLA program — on a single TPU core the separate augment/train
+        # programs serialize anyway, and per-step dispatch rides the host
+        # RTT. Falls back to the step loop under any per-step control flow.
+        dcfg_f = self.cfg["data"]
+        use_fused = (
+            dcfg_f.get("pipeline") == "device"
+            and bool(dcfg_f.get("device_cache"))
+            and bool(dcfg_f.get("fused_epoch", True))
+            and not (fdr or overfit or limit or prof_cfg)
+            and jax.process_count() == 1
+        )
+
         for epoch in range(start_epoch, max_epochs):
             epoch_t0 = time.time()
             n_images = 0
 
-            if overfit:
+            if use_fused:
+                pipe = self._train_prefetcher()
+                if self._fused_epoch_fn is None:
+                    from object_detection_cib_tpu.parallel.mesh import (
+                        batch_sharding,
+                    )
+
+                    bs = (
+                        batch_sharding(self.mesh)
+                        if self.mesh.devices.size > 1
+                        else None
+                    )
+                    self._fused_epoch_fn = pipe.build_fused_epoch_fn(
+                        self._train_step_raw, bs
+                    )
+                xs = pipe.epoch_host_arrays()
+                self.state, (ms, ovfs) = self._fused_epoch_fn(
+                    self.state, pipe._ds_images, pipe._ds_sizes, xs
+                )
+                ms = jax.tree.map(np.asarray, ms)  # forces epoch completion
+                n_steps = int(xs[0].shape[0])
+                n_images = n_steps * self.batch_size
+                for si in range(n_steps):
+                    global_step += 1
+                    if global_step % log_every == 0:
+                        metrics = {
+                            "box": float(ms.box[si]),
+                            "obj": float(ms.obj[si]),
+                            "cls": float(ms.cls[si]),
+                            "total": float(ms.total[si]),
+                            "lr": float(ms.lr[si]),
+                        }
+                        self._log(metrics, global_step)
+                        self.progress.update(epoch, global_step, metrics)
+                m = jax.tree.map(lambda a: a[-1], ms)  # last step's metrics
+                fused_dropped = int(np.asarray(ovfs).sum())
+            elif overfit:
                 if overfit_cache is None:
                     pf = self._train_prefetcher()
                     overfit_cache = []
@@ -685,50 +735,51 @@ class Trainer:
             else:
                 batches = self._train_prefetcher()
 
-            n_batches = self.steps_per_epoch
-            if fdr:
-                n_batches = 1
-            elif limit:
-                n_batches = max(int(n_batches * float(limit)), 1)
+            if not use_fused:
+                n_batches = self.steps_per_epoch
+                if fdr:
+                    n_batches = 1
+                elif limit:
+                    n_batches = max(int(n_batches * float(limit)), 1)
 
-            overflow_base = getattr(batches, "overflow_total", 0)
-            bar = None
-            if self.rich_progress:
-                from object_detection_cib_tpu.utils.loggers import (
-                    RichEpochProgress,
-                )
+                overflow_base = getattr(batches, "overflow_total", 0)
+                bar = None
+                if self.rich_progress:
+                    from object_detection_cib_tpu.utils.loggers import (
+                        RichEpochProgress,
+                    )
 
-                bar = RichEpochProgress(epoch, n_batches)
-            for bi, batch in enumerate(batches):
-                if bi >= n_batches:
-                    break
-                if prof_cfg and not prof_active and global_step == prof_start:
-                    jax.profiler.start_trace(str(self.out_dir / "profile"))
-                    prof_active = True
-                self.state, m = self.train_step(self.state, batch)
-                global_step += 1
-                if prof_active and global_step >= prof_start + prof_steps:
-                    jax.block_until_ready(self.state.params)
-                    jax.profiler.stop_trace()
-                    prof_active = False
-                n_images += batch.images.shape[0]
-                if global_step % log_every == 0:
-                    metrics = {
-                        "box": float(m.box),
-                        "obj": float(m.obj),
-                        "cls": float(m.cls),
-                        "total": float(m.total),
-                        "lr": float(m.lr),
-                    }
-                    self._log(metrics, global_step)
-                    self.progress.update(epoch, global_step, metrics)
-                    if bar:
-                        bar.advance(metrics)
-                elif bar:
-                    bar.advance()
+                    bar = RichEpochProgress(epoch, n_batches)
+                for bi, batch in enumerate(batches):
+                    if bi >= n_batches:
+                        break
+                    if prof_cfg and not prof_active and global_step == prof_start:
+                        jax.profiler.start_trace(str(self.out_dir / "profile"))
+                        prof_active = True
+                    self.state, m = self.train_step(self.state, batch)
+                    global_step += 1
+                    if prof_active and global_step >= prof_start + prof_steps:
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        prof_active = False
+                    n_images += batch.images.shape[0]
+                    if global_step % log_every == 0:
+                        metrics = {
+                            "box": float(m.box),
+                            "obj": float(m.obj),
+                            "cls": float(m.cls),
+                            "total": float(m.total),
+                            "lr": float(m.lr),
+                        }
+                        self._log(metrics, global_step)
+                        self.progress.update(epoch, global_step, metrics)
+                        if bar:
+                            bar.advance(metrics)
+                    elif bar:
+                        bar.advance()
 
-            if bar:
-                bar.close()
+                if bar:
+                    bar.close()
             dt = time.time() - epoch_t0
             ips = n_images / max(dt, 1e-9)
 
@@ -744,7 +795,11 @@ class Trainer:
                     "slots dropped by loss-table compaction in the last "
                     "step; raise model.assign_compact_slots"
                 )
-            dropped = getattr(batches, "overflow_total", 0) - overflow_base
+            dropped = (
+                fused_dropped
+                if use_fused
+                else getattr(batches, "overflow_total", 0) - overflow_base
+            )
             if dropped:
                 rank_zero_print(
                     f"[epoch {epoch}] WARNING: {dropped} targets dropped by "

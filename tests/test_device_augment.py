@@ -307,3 +307,49 @@ def test_axis_aligned_warp_matches_gather_path():
         np.asarray(ref.boxes), np.asarray(fast.boxes), atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(fast.mask))
+
+
+def test_fused_mosaic_affine_matches_composition():
+    """mosaic_affine_batch == affine_batch(mosaic4_batch(...)) for the
+    axis-aligned production recipe: boxes bit-identical (shared helpers),
+    pixels equal up to 1 unit (summation-order rounding ahead of rint)."""
+    from object_detection_cib_tpu.ops.augment import (
+        flip_boxes,
+        mosaic_affine_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    B = 8  # 2 mosaic groups
+    dev = _to_device_sample(_host_samples(B, seed=3), T=6)
+    k_m = jax.random.PRNGKey(11)
+    v = sample_affine_values_batch(
+        jax.random.PRNGKey(12), B // 4, degrees=0.0, translate=0.1,
+        scale=0.5, shear=0.0, perspective=0.0,
+    )
+
+    m = mosaic4_batch(dev, k_m, S)
+    if m.images.dtype != jnp.float32:
+        m = m._replace(images=m.images.astype(jnp.float32))
+    ref = affine_batch(m, v, S, border=(-S // 2, -S // 2), axis_aligned=True)
+    fused = mosaic_affine_batch(dev, k_m, v, S)
+
+    d = np.abs(np.asarray(ref.images) - np.asarray(fused.images))
+    assert (d == 0).mean() > 0.999, f"only {(d == 0).mean():.5%} exact"
+    assert d.max() <= 1.0, d.max()
+    np.testing.assert_array_equal(np.asarray(ref.boxes), np.asarray(fused.boxes))
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(fused.mask))
+    np.testing.assert_array_equal(np.asarray(ref.labels), np.asarray(fused.labels))
+
+    # folded flip: warp with flip_do + flip_boxes == flip_batch after warp
+    do = jnp.asarray([True, False])
+    flipped_ref_imgs = jnp.where(
+        do[:, None, None, None], jnp.flip(ref.images, axis=2), ref.images
+    )
+    fused_f = mosaic_affine_batch(dev, k_m, v, S, flip_do=do)
+    d2 = np.abs(np.asarray(flipped_ref_imgs) - np.asarray(fused_f.images))
+    assert (d2 == 0).mean() > 0.999
+    assert d2.max() <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(flip_boxes(ref.boxes, do, S)),
+        np.asarray(flip_boxes(fused.boxes, do, S)),
+    )

@@ -273,3 +273,45 @@ def _collect_stats(pipeline, n_batches):
         "box_h": float(np.mean(bh)), "box_cx": float(np.mean(cx)),
         "box_cy": float(np.mean(cy)),
     }
+
+
+def test_fused_epoch_matches_iterator_stream():
+    """epoch_host_arrays + scanned gather/augment/step == iterating the
+    pipeline with a per-step train loop: identical batches (same RNG and
+    sampling stream) and identical final 'state' for a checksum step."""
+    info = build_fake_manifest(num_images=32, num_classes=4, seed=1)
+    mk = lambda: _pipeline(info, fake_mode=True, device_cache=True)
+
+    pipe_iter = mk()
+    ref_batches = list(iter(pipe_iter))
+
+    pipe_fused = mk()
+    xs = pipe_fused.epoch_host_arrays()
+    assert int(xs[0].shape[0]) == len(ref_batches)
+
+    def checksum_step(state, batch):
+        s = (
+            jnp.sum(batch.images.astype(jnp.float32))
+            + jnp.sum(batch.boxes * batch.mask[..., None])
+            + jnp.sum(batch.labels)
+        )
+        return state + s, s
+
+    fused_fn = pipe_fused.build_fused_epoch_fn(checksum_step)
+    state, (sums, ovfs) = fused_fn(
+        jnp.zeros(()), pipe_fused._ds_images, pipe_fused._ds_sizes, xs
+    )
+
+    ref_sums = [float(checksum_step(jnp.zeros(()), b)[1]) for b in ref_batches]
+    np.testing.assert_allclose(np.asarray(sums), ref_sums, rtol=1e-6)
+    np.testing.assert_allclose(float(state), sum(ref_sums), rtol=1e-6)
+
+    # second epoch advances the sampling stream the same way
+    ref2 = list(iter(pipe_iter))
+    xs2 = pipe_fused.epoch_host_arrays()
+    _, (sums2, _) = fused_fn(
+        jnp.zeros(()), pipe_fused._ds_images, pipe_fused._ds_sizes, xs2
+    )
+    ref_sums2 = [float(checksum_step(jnp.zeros(()), b)[1]) for b in ref2]
+    np.testing.assert_allclose(np.asarray(sums2), ref_sums2, rtol=1e-6)
+    assert not np.allclose(np.asarray(sums2), np.asarray(sums))
