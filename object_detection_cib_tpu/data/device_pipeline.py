@@ -343,28 +343,38 @@ class DeviceDataPipeline:
                 i, (sizes[i, 0] / meta.height, sizes[i, 1] / meta.width)
             )
         self._t_boxes, self._t_labels, self._t_mask = tb, tl, tm
+        # targets live in HBM too (a few MB): per-step host->device traffic
+        # shrinks to the index array + key — the per-image target rows are
+        # gathered on device. (The tunnel in this environment moves ~12 MB/s;
+        # shipping dense per-group target arrays was ~20 ms/step.)
+        self._ds_tb = jax.device_put(tb)
+        self._ds_tl = jax.device_put(tl)
+        self._ds_tm = jax.device_put(tm)
 
         core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
         gather = self._gather
 
+        def pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx):
+            return DeviceSample(
+                gather(ds_imgs, idx), ds_sizes[idx], ds_tb[idx], ds_tl[idx],
+                ds_tm[idx],
+            )
+
         if self.mixup_prob > 0.0:
 
             @jax.jit
-            def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
-                                   idx2, boxes2, labels2, mask2, key):
-                p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], boxes,
-                                 labels, mask)
-                s = DeviceSample(gather(ds_imgs, idx2), ds_sizes[idx2], boxes2,
-                                 labels2, mask2)
+            def gather_and_augment(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm,
+                                   idx, idx2, key):
+                p = pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx)
+                s = pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx2)
                 return core(p, s, key)
 
         else:
 
             @jax.jit
-            def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask,
-                                   key):
-                p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], boxes,
-                                 labels, mask)
+            def gather_and_augment(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm,
+                                   idx, key):
+                p = pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx)
                 return core(p, key)
 
         self._gather_augment = gather_and_augment
@@ -511,20 +521,17 @@ class DeviceDataPipeline:
             try:
                 for group, sec, k in zip(groups, secs, keys):
                     if self._gather_augment is not None:
-                        # HBM-resident mode: ship only indices + targets
+                        # HBM-resident mode: ship only indices
+                        ds = (self._ds_images, self._ds_sizes, self._ds_tb,
+                              self._ds_tl, self._ds_tm)
                         idx = jnp.asarray(group, jnp.int32)
-                        b, l, m = self._group_targets(group)
                         if self.mixup_prob > 0.0:
                             idx2 = jnp.asarray(sec, jnp.int32)
-                            b2, l2, m2 = self._group_targets(sec)
                             batch, ovf = self._gather_augment(
-                                self._ds_images, self._ds_sizes, idx, b, l, m,
-                                idx2, b2, l2, m2, k,
+                                *ds, idx, idx2, k
                             )
                         else:
-                            batch, ovf = self._gather_augment(
-                                self._ds_images, self._ds_sizes, idx, b, l, m, k
-                            )
+                            batch, ovf = self._gather_augment(*ds, idx, k)
                     elif self.mixup_prob > 0.0:
                         primary = self._load_group(group)
                         secondary = self._load_group(sec)
@@ -551,20 +558,22 @@ class DeviceDataPipeline:
             yield item
 
     # ---------------------- fused-epoch (scan) mode ----------------------
+    @property
+    def device_arrays(self):
+        """HBM-resident dataset tuple consumed by the fused epoch fn."""
+        return (self._ds_images, self._ds_sizes, self._ds_tb, self._ds_tl,
+                self._ds_tm)
+
     def epoch_host_arrays(self):
         """One epoch's sampling as stacked per-step arrays for the fused
-        scan: (idx, boxes, labels, mask[, idx2, boxes2, labels2, mask2],
-        keys), each with leading dim = steps. Draws through `_epoch_plan`,
-        so the stream (and the sampler/pyrng/key state advance) is identical
-        to iterating the pipeline."""
+        scan: (idx[, idx2], keys), each with leading dim = steps (targets
+        are HBM-resident and gathered on device). Draws through
+        `_epoch_plan`, so the stream (and the sampler/pyrng/key state
+        advance) is identical to iterating the pipeline."""
         groups, secs, keys = self._epoch_plan()
-        idx = np.asarray(groups, np.int32)  # (steps, G)
-        b, l, m = self._group_targets(idx)
-        xs = (jnp.asarray(idx), b, l, m)
+        xs = (jnp.asarray(np.asarray(groups, np.int32)),)
         if self.mixup_prob > 0.0:
-            idx2 = np.asarray(secs, np.int32)
-            b2, l2, m2 = self._group_targets(idx2)
-            xs = xs + (jnp.asarray(idx2), b2, l2, m2)
+            xs = xs + (jnp.asarray(np.asarray(secs, np.int32)),)
         return xs + (jnp.stack(keys),)
 
     def build_fused_epoch_fn(self, train_step, batch_sharding=None):
@@ -577,16 +586,16 @@ class DeviceDataPipeline:
         rides the remote-tunnel RTT. train_step is the UN-jitted step
         (make_train_step output); the pipeline must be in device_cache mode.
 
-        Returns jitted `epoch_fn(state, ds_images, ds_sizes, xs) ->
+        Returns jitted `epoch_fn(state, device_arrays, xs) ->
         (state', (stacked StepMetrics, stacked overflow))`.
         """
         assert self._gather_augment is not None, "fused mode needs device_cache"
         ga = self._gather_augment
 
-        def epoch_fn(state, ds_imgs, ds_sizes, xs):
+        def epoch_fn(state, ds, xs):
             def body(st, x):
                 gx, key = x[:-1], x[-1]
-                batch, ovf = ga(ds_imgs, ds_sizes, *gx, key)
+                batch, ovf = ga(*ds, *gx, key)
                 if batch_sharding is not None:
                     batch = jax.tree.map(
                         lambda a: jax.lax.with_sharding_constraint(

@@ -704,7 +704,7 @@ class Trainer:
                     )
                 xs = pipe.epoch_host_arrays()
                 self.state, (ms, ovfs) = self._fused_epoch_fn(
-                    self.state, pipe._ds_images, pipe._ds_sizes, xs
+                    self.state, pipe.device_arrays, xs
                 )
                 ms = jax.tree.map(np.asarray, ms)  # forces epoch completion
                 n_steps = int(xs[0].shape[0])

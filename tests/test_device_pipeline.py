@@ -299,7 +299,7 @@ def test_fused_epoch_matches_iterator_stream():
 
     fused_fn = pipe_fused.build_fused_epoch_fn(checksum_step)
     state, (sums, ovfs) = fused_fn(
-        jnp.zeros(()), pipe_fused._ds_images, pipe_fused._ds_sizes, xs
+        jnp.zeros(()), pipe_fused.device_arrays, xs
     )
 
     ref_sums = [float(checksum_step(jnp.zeros(()), b)[1]) for b in ref_batches]
@@ -310,7 +310,7 @@ def test_fused_epoch_matches_iterator_stream():
     ref2 = list(iter(pipe_iter))
     xs2 = pipe_fused.epoch_host_arrays()
     _, (sums2, _) = fused_fn(
-        jnp.zeros(()), pipe_fused._ds_images, pipe_fused._ds_sizes, xs2
+        jnp.zeros(()), pipe_fused.device_arrays, xs2
     )
     ref_sums2 = [float(checksum_step(jnp.zeros(()), b)[1]) for b in ref2]
     np.testing.assert_allclose(np.asarray(sums2), ref_sums2, rtol=1e-6)

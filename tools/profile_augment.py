@@ -45,31 +45,21 @@ def build(S, B, N, T, mixup=0.0, precision="fast"):
     corpus = rng.integers(0, 256, (N, S, S, 3), dtype=np.uint8)
     ds_sizes = jax.device_put(np.full((N, 2), S, np.int32))
     prep, gather = _make_row_gather(corpus.shape)
-    corpus = prep(corpus)
+    ds_imgs = jax.device_put(prep(corpus))
+    ds_tb = jax.device_put(rng.uniform(0, S, (N, T, 4)).astype(np.float32))
+    ds_tl = jax.device_put(np.zeros((N, T), np.int32))
+    ds_tm = jax.device_put(np.ones((N, T), bool))
 
     @jax.jit
-    def gather_and_augment(ds_imgs, ds_sizes, idx, boxes, labels, mask, key):
-        p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], boxes, labels, mask)
+    def gather_and_augment(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx, key):
+        p = DeviceSample(gather(ds_imgs, idx), ds_sizes[idx], ds_tb[idx],
+                         ds_tl[idx], ds_tm[idx])
         return core(p, key)
 
     idx = jnp.asarray(rng.integers(0, N, (4 * B,)), jnp.int32)
-    boxes = jnp.asarray(rng.uniform(0, S, (4 * B, T, 4)).astype(np.float32))
-    boxes = boxes.at[..., 2:].add(20)
-    labels = jnp.zeros((4 * B, T), jnp.int32)
-    mask = jnp.ones((4 * B, T), bool)
-    # place the corpus in the layout the gather program wants (else XLA
-    # re-lays-out the whole corpus every call — measured ~21 ms at N=5000)
-    fn = jax.jit(
-        gather_and_augment.__wrapped__,
-        in_shardings=(Format(Layout.AUTO),) + (None,) * 6,
-    )
-    ds_imgs0 = jax.device_put(corpus)
-    compiled = fn.lower(
-        ds_imgs0, ds_sizes, idx, boxes, labels, mask, jax.random.PRNGKey(0)
-    ).compile()
-    ds_imgs = jax.device_put(corpus, compiled.input_formats[0][0])
-    args = (ds_imgs, ds_sizes, idx, boxes, labels, mask, jax.random.PRNGKey(0))
-    return compiled, args
+    args = (ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx,
+            jax.random.PRNGKey(0))
+    return gather_and_augment, args
 
 
 def main():
