@@ -576,7 +576,8 @@ class DeviceDataPipeline:
             xs = xs + (jnp.asarray(np.asarray(secs, np.int32)),)
         return xs + (jnp.stack(keys),)
 
-    def build_fused_epoch_fn(self, train_step, batch_sharding=None):
+    def build_fused_epoch_fn(self, train_step, batch_sharding=None,
+                             pipelined: bool = False):
         """One XLA program per epoch: lax.scan over steps of
         (corpus row-gather -> device augment -> train step).
 
@@ -592,20 +593,54 @@ class DeviceDataPipeline:
         assert self._gather_augment is not None, "fused mode needs device_cache"
         ga = self._gather_augment
 
-        def epoch_fn(state, ds, xs):
-            def body(st, x):
-                gx, key = x[:-1], x[-1]
-                batch, ovf = ga(*ds, *gx, key)
-                if batch_sharding is not None:
-                    batch = jax.tree.map(
-                        lambda a: jax.lax.with_sharding_constraint(
-                            a, batch_sharding
-                        ),
-                        batch,
-                    )
-                st, m = train_step(st, batch)
-                return st, (m, ovf)
+        def make_batch(ds, x):
+            gx, key = x[:-1], x[-1]
+            batch, ovf = ga(*ds, *gx, key)
+            if batch_sharding is not None:
+                batch = jax.tree.map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, batch_sharding
+                    ),
+                    batch,
+                )
+            return batch, ovf
 
-            return jax.lax.scan(body, state, xs)
+        if not pipelined:
+
+            def epoch_fn(state, ds, xs):
+                def body(st, x):
+                    batch, ovf = make_batch(ds, x)
+                    st, m = train_step(st, batch)
+                    return st, (m, ovf)
+
+                return jax.lax.scan(body, state, xs)
+
+        else:
+            # software-pipelined: iteration i trains on batch i-1 while
+            # building batch i — the two are independent inside one scan
+            # body, so XLA's latency-hiding scheduler can overlap the
+            # augment's MXU warp and DMA with the train step's
+            # bandwidth-bound fusions (a single TPU core executes two
+            # *separate* programs strictly in sequence).
+            def epoch_fn(state, ds, xs):
+                x0 = jax.tree.map(lambda a: a[0], xs)
+                rest = jax.tree.map(lambda a: a[1:], xs)
+                batch0, ovf0 = make_batch(ds, x0)
+
+                def body(carry, x):
+                    st, batch, ovf = carry
+                    nb, novf = make_batch(ds, x)
+                    st, m = train_step(st, batch)
+                    return (st, nb, novf), (m, ovf)
+
+                (st, last_b, last_ovf), (ms, ovfs) = jax.lax.scan(
+                    body, (state, batch0, ovf0), rest
+                )
+                st, m_last = train_step(st, last_b)
+                ms = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), ms, m_last
+                )
+                ovfs = jnp.concatenate([ovfs, last_ovf[None]])
+                return st, (ms, ovfs)
 
         return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -700,7 +700,9 @@ class Trainer:
                         else None
                     )
                     self._fused_epoch_fn = pipe.build_fused_epoch_fn(
-                        self._train_step_raw, bs
+                        self._train_step_raw,
+                        bs,
+                        pipelined=bool(dcfg_f.get("fused_pipelined", False)),
                     )
                 xs = pipe.epoch_host_arrays()
                 self.state, (ms, ovfs) = self._fused_epoch_fn(

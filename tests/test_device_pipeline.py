@@ -315,3 +315,34 @@ def test_fused_epoch_matches_iterator_stream():
     ref_sums2 = [float(checksum_step(jnp.zeros(()), b)[1]) for b in ref2]
     np.testing.assert_allclose(np.asarray(sums2), ref_sums2, rtol=1e-6)
     assert not np.allclose(np.asarray(sums2), np.asarray(sums))
+
+
+def test_fused_epoch_pipelined_matches_plain():
+    """The software-pipelined scan (train on batch i-1 while building
+    batch i) consumes batches in the same order with the same RNG: its
+    per-step metrics and final state match the plain fused scan."""
+    info = build_fake_manifest(num_images=32, num_classes=4, seed=3)
+    mk = lambda: _pipeline(info, fake_mode=True, device_cache=True)
+
+    def checksum_step(state, batch):
+        s = (
+            jnp.sum(batch.images.astype(jnp.float32))
+            + jnp.sum(batch.boxes * batch.mask[..., None])
+            + jnp.sum(batch.labels)
+        )
+        return state + s, s
+
+    pipe_a = mk()
+    xs_a = pipe_a.epoch_host_arrays()
+    fn_a = pipe_a.build_fused_epoch_fn(checksum_step)
+    st_a, (sums_a, ovf_a) = fn_a(jnp.zeros(()), pipe_a.device_arrays, xs_a)
+
+    pipe_b = mk()
+    xs_b = pipe_b.epoch_host_arrays()
+    fn_b = pipe_b.build_fused_epoch_fn(checksum_step, pipelined=True)
+    st_b, (sums_b, ovf_b) = fn_b(jnp.zeros(()), pipe_b.device_arrays, xs_b)
+
+    np.testing.assert_allclose(np.asarray(sums_b), np.asarray(sums_a), rtol=1e-6)
+    np.testing.assert_allclose(float(st_b), float(st_a), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ovf_b), np.asarray(ovf_a))
+    assert sums_b.shape == sums_a.shape
