@@ -388,12 +388,6 @@ class DeviceDataPipeline:
         )
 
     # -------------------------- host stage --------------------------
-    def _co_indices(self, k: int):
-        pool = getattr(self.sampler, "sampler_indices", None)
-        if pool is None:
-            pool = range(len(self.info.samples))
-        return self.pyrng.choices(pool, k=k, weights=self.image_repeat_factors)
-
     def _targets_arrays(self, idx, scale_hw):
         s = self.info.samples[idx]
         boxes = np.zeros((self.src_T, 4), np.float32)
@@ -490,28 +484,51 @@ class DeviceDataPipeline:
             epoch_idx = shard_indices(
                 epoch_idx, _jax.process_index(), _jax.process_count()
             )
-        epoch_idx = list(epoch_idx)
+        epoch_idx = np.asarray(epoch_idx, np.int64)
         n_batches = len(epoch_idx) // self.B
-        groups, secs, keys = [], [], []
-        for bi in range(n_batches):
-            primaries = epoch_idx[bi * self.B : (bi + 1) * self.B]
-            if self.use_mosaic:
-                group = []
-                for p in primaries:
-                    four = [int(p)] + self._co_indices(3)
-                    self.pyrng.shuffle(four)
-                    group.extend(four)
-            else:
-                group = [int(p) for p in primaries]
-            self.key, k = jax.random.split(self.key)
-            sec = []
-            if self.mixup_prob > 0.0:
-                for _ in primaries:
-                    sec.extend(self._co_indices(4))
-            groups.append(group)
-            secs.append(sec)
-            keys.append(k)
-        return groups, secs, keys
+        n_prim = n_batches * self.B
+        # Vectorized sampling: the per-image random.choices + shuffle loop
+        # cost ~0.4 s/epoch on a 1-core host (~10 ms/step of the fused-loop
+        # budget at 39 steps/epoch). One numpy draw per epoch is the same
+        # distribution (with-replacement, weight-proportional) and ~50x
+        # cheaper; both the iterator and the fused path share this plan, so
+        # their streams stay identical.
+        rng = np.random.default_rng(self.pyrng.randrange(2**31))
+        pool = getattr(self.sampler, "sampler_indices", None)
+        pool = np.asarray(
+            pool if pool is not None else np.arange(len(self.info.samples)),
+            np.int64,
+        )
+        p = None
+        if self.image_repeat_factors is not None:
+            p = np.asarray(self.image_repeat_factors, np.float64)
+            p = p / p.sum()
+
+        def draw(k):
+            if k == 0:
+                return np.zeros((0,), np.int64)
+            return pool[rng.choice(len(pool), size=k, p=p)]
+
+        if self.use_mosaic:
+            # per primary: [primary, co1, co2, co3] shuffled within the quad
+            quads = np.concatenate(
+                [
+                    epoch_idx[:n_prim, None],
+                    draw(3 * n_prim).reshape(n_prim, 3),
+                ],
+                axis=1,
+            )
+            quads = rng.permuted(quads, axis=1)
+            groups = quads.reshape(n_batches, 4 * self.B)
+        else:
+            groups = epoch_idx[:n_prim].reshape(n_batches, self.B)
+        if self.mixup_prob > 0.0:
+            secs = draw(4 * n_prim).reshape(n_batches, 4 * self.B)
+        else:
+            secs = np.zeros((n_batches, 0), np.int64)
+        ks = jax.random.split(self.key, n_batches + 1)
+        self.key = ks[0]
+        return groups, secs, list(ks[1:])
 
     def __iter__(self) -> Iterator[Batch]:
         groups, secs, keys = self._epoch_plan()
