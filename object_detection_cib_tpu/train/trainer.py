@@ -390,6 +390,12 @@ class Trainer:
                 monitor=cb.get("monitor", "map"),
                 mode=cb.get("mode", "max"),
             )
+        # Lightning ModelCheckpoint(every_n_epochs) parity (reference
+        # configs/callbacks/model_checkpoint.yaml:16): cadence of the
+        # end-of-epoch save_last. None/1 = every epoch; the final state is
+        # always saved at end of fit either way.
+        _ene = (cb or {}).get("every_n_epochs") if cb is not None else None
+        self.ckpt_every_n_epochs = max(int(_ene or 1), 1)
         callbacks_cfg = cfg.get("callbacks") or {}
         self.sampler_debug = bool(callbacks_cfg.get("sampler_debug"))
         # model summary callback (parity: RichModelSummary via
@@ -708,7 +714,19 @@ class Trainer:
                 self.state, (ms, ovfs) = self._fused_epoch_fn(
                     self.state, pipe.device_arrays, xs
                 )
-                ms = jax.tree.map(np.asarray, ms)  # forces epoch completion
+                # one stacked device->host transfer for all per-step metric
+                # leaves + overflow counts (a per-leaf fetch is one tunnel
+                # RTT each, ~200 ms/epoch through this environment's remote
+                # device; this also forces epoch completion)
+                td = jax.tree.structure(ms)
+                lv = jax.tree.leaves(ms)
+                flat = np.asarray(
+                    jnp.stack(
+                        [l.astype(jnp.float32) for l in lv]
+                        + [ovfs.astype(jnp.float32)]
+                    )
+                )
+                ms = jax.tree.unflatten(td, list(flat[:-1]))
                 n_steps = int(xs[0].shape[0])
                 n_images = n_steps * self.batch_size
                 for si in range(n_steps):
@@ -724,7 +742,7 @@ class Trainer:
                         self._log(metrics, global_step)
                         self.progress.update(epoch, global_step, metrics)
                 m = jax.tree.map(lambda a: a[-1], ms)  # last step's metrics
-                fused_dropped = int(np.asarray(ovfs).sum())
+                fused_dropped = int(flat[-1].sum())
             elif overfit:
                 if overfit_cache is None:
                     pf = self._train_prefetcher()
@@ -839,7 +857,7 @@ class Trainer:
                                 if self.ckpt:
                                     self.ckpt.save_last(self.state)
                                 return last_val
-            if self.ckpt:
+            if self.ckpt and (epoch + 1) % self.ckpt_every_n_epochs == 0:
                 self.ckpt.save_last(self.state)
 
             if self.sampler_debug and self.sampler is not None:
@@ -849,6 +867,10 @@ class Trainer:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
 
+        if self.ckpt and max_epochs % self.ckpt_every_n_epochs != 0:
+            # cadence skipped the final epoch's save: 'last' must still be
+            # the end-of-fit state
+            self.ckpt.save_last(self.state)
         if self.ckpt:
             # saves are async (overlap the next epoch); drain before
             # returning so callers see complete checkpoints on disk

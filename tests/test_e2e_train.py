@@ -67,6 +67,45 @@ def test_eval_from_checkpoint(tmp_path):
     assert "map" in metrics
 
 
+def test_checkpoint_every_n_epochs(tmp_path, monkeypatch):
+    """ModelCheckpoint(every_n_epochs) parity: end-of-epoch save_last runs
+    on the configured cadence, and the end-of-fit state is always saved."""
+    from object_detection_cib_tpu.train.checkpoint import CheckpointManager
+
+    calls = []
+    orig = CheckpointManager.save_last
+    monkeypatch.setattr(
+        CheckpointManager,
+        "save_last",
+        lambda self, state: (calls.append(1), orig(self, state))[1],
+    )
+    cfg = compose(
+        CONFIG_DIR,
+        overrides=[
+            "experiment=yv5n",
+            "dataset_name=fake",
+            "data.fake_mode=True",
+            "data.batch_size=8",
+            "data.target_image_size=64",
+            "data.max_targets=40",
+            "data.num_workers=2",
+            "data.enable_ram_cache=False",
+            f"paths.output_dir={tmp_path}/run",
+            f"callbacks.model_checkpoint.dirpath={tmp_path}/run/checkpoints",
+            "callbacks.model_checkpoint.every_n_epochs=2",
+            "logger=csv",
+            f"logger.csv.save_dir={tmp_path}/run/csv",
+            "trainer.max_epochs=3",
+            "trainer.check_val_every_n_epoch=3",
+            "model.net.widen_factor=0.25",
+        ],
+    )
+    train(cfg)
+    # epoch 1 hits the cadence; epochs 0/2 skip; end-of-fit tops it up
+    assert len(calls) == 2
+    assert (tmp_path / "run/checkpoints/last").exists()
+
+
 def test_loss_weights_and_sampler(tmp_path):
     cfg = _cfg(
         tmp_path,
