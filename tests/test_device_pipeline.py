@@ -219,23 +219,39 @@ def test_device_host_pipeline_distribution_parity(tmp_path):
 
     n_batches = 12
     bs, mt = 8, 60
+    # Pool 3 seeds per side (the device iterator is one epoch = 12
+    # batches long, so a larger n_batches cannot tighten the estimate).
+    # Measured single-seed spread of the batch pixel mean at 12 batches
+    # is ~±0.045 — pooling 3 seeds brings it inside the 0.03 tolerance.
+    seeds = [0, 1, 2]
 
     # --- device pipeline
-    dev = DeviceDataPipeline(
-        info, target_size=size, batch_size=bs, aug_params=AugParams(),
-        max_targets=mt, seed=0, root_dir=tmp_path, enable_ram_cache=True,
+    dstats = _pool_stats(
+        [
+            _collect_stats(
+                DeviceDataPipeline(
+                    info, target_size=size, batch_size=bs,
+                    aug_params=AugParams(), max_targets=mt, seed=s,
+                    root_dir=tmp_path, enable_ram_cache=True,
+                ),
+                n_batches,
+            )
+            for s in seeds
+        ]
     )
-    dstats = _collect_stats(dev, n_batches)
 
     # --- host pipeline (numpy/cv2 oracle path)
-    reader = SampleReader(size, info.classes, root_dir=tmp_path)
-    ds = DetectionDataset(
-        info, reader, TrainSampleAugmentor(AugParams()),
-        enable_ram_cache=True, use_mosaic=True, mosaic_target_size=size,
-        seed=0,
-    )
-    host = Prefetcher(ds, bs, mt, num_threads=2)
-    hstats = _collect_stats(host, n_batches)
+    def host_stats(seed):
+        reader = SampleReader(size, info.classes, root_dir=tmp_path)
+        ds = DetectionDataset(
+            info, reader, TrainSampleAugmentor(AugParams()),
+            enable_ram_cache=True, use_mosaic=True,
+            mosaic_target_size=size, seed=seed,
+        )
+        return _collect_stats(Prefetcher(ds, bs, mt, num_threads=2),
+                              n_batches)
+
+    hstats = _pool_stats([host_stats(s) for s in seeds])
 
     # pixel moments: same fill + same photometric distribution
     assert dstats["mean"] == pytest.approx(hstats["mean"], abs=0.03)
@@ -246,6 +262,13 @@ def test_device_host_pipeline_distribution_parity(tmp_path):
     assert dstats["box_h"] == pytest.approx(hstats["box_h"], rel=0.25)
     assert dstats["box_cx"] == pytest.approx(hstats["box_cx"], rel=0.15)
     assert dstats["box_cy"] == pytest.approx(hstats["box_cy"], rel=0.15)
+
+
+def _pool_stats(stats_list):
+    return {
+        k: float(np.mean([s[k] for s in stats_list]))
+        for k in stats_list[0]
+    }
 
 
 def _collect_stats(pipeline, n_batches):
