@@ -76,8 +76,11 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
             None,
             Batch(Format(Layout.AUTO), None, None, None),
         )
+    step_fn = make_train_step(
+        net, default_anchors(), shape, opt, remat_policy=remat
+    )
     step = jax.jit(
-        make_train_step(net, default_anchors(), shape, opt, remat_policy=remat),
+        step_fn,
         donate_argnums=(0,),
         **({"in_shardings": in_sh} if in_sh is not None else {}),
     )
@@ -86,15 +89,31 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
         # compile once, reuse the compiled executable (calling the jit
         # wrapper again would re-trace and compile a second time under
         # AUTO layouts)
-        compiled = step.lower(state, b).compile()
-        fmt = compiled.input_formats[0][1].images
-        b = b._replace(images=jax.device_put(b.images, fmt))
-        step = compiled
+        try:
+            compiled = step.lower(state, b).compile()
+            fmt = compiled.input_formats[0][1].images
+            imgs = jax.device_put(b.images, fmt)
+            # device_put through the remote platform does not honor every
+            # tiled layout (it can silently yield the default); feeding a
+            # mismatched batch to the compiled executable raises at call
+            # time. Verify the layout landed before committing to it.
+            got = getattr(imgs, "format", None)
+            if got is not None and got.layout == fmt.layout:
+                b = b._replace(images=imgs)
+                step = compiled
+            else:
+                step = jax.jit(step_fn, donate_argnums=(0,))
+        except Exception:
+            step = jax.jit(step_fn, donate_argnums=(0,))
 
     flops_per_step = None
     if want_flops:
         try:
-            compiled = step if auto_layout else step.lower(state, b).compile()
+            compiled = (
+                step
+                if hasattr(step, "cost_analysis")  # took the compiled path
+                else step.lower(state, b).compile()
+            )
             flops_per_step = float(compiled.cost_analysis().get("flops", 0.0))
         except Exception:
             pass
