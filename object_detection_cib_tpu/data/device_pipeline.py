@@ -594,7 +594,8 @@ class DeviceDataPipeline:
         return xs + (jnp.stack(keys),)
 
     def build_fused_epoch_fn(self, train_step, batch_sharding=None,
-                             pipelined: bool = False):
+                             pipelined: bool = False,
+                             stack_metrics: bool = False):
         """One XLA program per epoch: lax.scan over steps of
         (corpus row-gather -> device augment -> train step).
 
@@ -606,6 +607,13 @@ class DeviceDataPipeline:
 
         Returns jitted `epoch_fn(state, device_arrays, xs) ->
         (state', (stacked StepMetrics, stacked overflow))`.
+
+        With stack_metrics=True the metrics are instead returned as ONE
+        f32[n_leaves+1, steps] matrix (StepMetrics leaves in tree order,
+        overflow last) stacked *inside* the program. This matters for the
+        trainer's dispatch-ahead pipelining: fetching the matrix is a pure
+        device->host copy with no follow-up device program, so it does not
+        queue behind the next epoch's already-dispatched scan.
         """
         assert self._gather_augment is not None, "fused mode needs device_cache"
         ga = self._gather_augment
@@ -659,5 +667,16 @@ class DeviceDataPipeline:
                 )
                 ovfs = jnp.concatenate([ovfs, last_ovf[None]])
                 return st, (ms, ovfs)
+
+        if stack_metrics:
+            inner = epoch_fn
+
+            def epoch_fn(state, ds, xs):  # noqa: F811
+                st, (ms, ovfs) = inner(state, ds, xs)
+                flat = jnp.stack(
+                    [l.astype(jnp.float32) for l in jax.tree.leaves(ms)]
+                    + [ovfs.astype(jnp.float32)]
+                )
+                return st, flat
 
         return jax.jit(epoch_fn, donate_argnums=(0,))

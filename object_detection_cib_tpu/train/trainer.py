@@ -359,6 +359,9 @@ class Trainer:
         )
         self.train_step = jit_train_step(self._train_step_raw, self.mesh)
         self._fused_epoch_fn = None
+        # dispatch-ahead pipelining: the next epoch's fused scan, already
+        # enqueued on device while the host processes this epoch's metrics
+        self._fused_inflight = None
         self.eval_step = jit_eval_step(
             make_eval_step(
                 self.net,
@@ -709,25 +712,52 @@ class Trainer:
                         self._train_step_raw,
                         bs,
                         pipelined=bool(dcfg_f.get("fused_pipelined", False)),
+                        stack_metrics=True,
                     )
-                xs = pipe.epoch_host_arrays()
-                self.state, (ms, ovfs) = self._fused_epoch_fn(
-                    self.state, pipe.device_arrays, xs
+                if self._fused_inflight is not None:
+                    flat_dev = self._fused_inflight
+                    self._fused_inflight = None
+                else:
+                    xs = pipe.epoch_host_arrays()
+                    self.state, flat_dev = self._fused_epoch_fn(
+                        self.state, pipe.device_arrays, xs
+                    )
+                # dispatch-ahead: enqueue the NEXT epoch's scan before
+                # blocking on this epoch's metrics, so the device rolls
+                # straight into epoch k+1 while the host fetches/logs
+                # epoch k. The epoch fn donates state, so this is only
+                # legal when nothing at this epoch's boundary reads
+                # self.state (validation, checkpoint save, end of fit).
+                nxt_consumes_state = (
+                    (epoch + 1) % val_every == 0
+                    or (
+                        self.ckpt
+                        and (epoch + 1) % self.ckpt_every_n_epochs == 0
+                    )
+                    or epoch + 1 >= max_epochs
                 )
+                if (
+                    bool(dcfg_f.get("fused_dispatch_ahead", True))
+                    and not nxt_consumes_state
+                ):
+                    xs2 = pipe.epoch_host_arrays()
+                    self.state, self._fused_inflight = self._fused_epoch_fn(
+                        self.state, pipe.device_arrays, xs2
+                    )
                 # one stacked device->host transfer for all per-step metric
                 # leaves + overflow counts (a per-leaf fetch is one tunnel
                 # RTT each, ~200 ms/epoch through this environment's remote
-                # device; this also forces epoch completion)
-                td = jax.tree.structure(ms)
-                lv = jax.tree.leaves(ms)
-                flat = np.asarray(
-                    jnp.stack(
-                        [l.astype(jnp.float32) for l in lv]
-                        + [ovfs.astype(jnp.float32)]
-                    )
+                # device; this also forces epoch completion). The stack is
+                # built inside the epoch program, so this is a pure D2H
+                # copy that does not queue behind the in-flight next epoch.
+                flat = np.asarray(flat_dev)
+                from object_detection_cib_tpu.train.steps import StepMetrics
+
+                td = jax.tree.structure(
+                    StepMetrics(*([0.0] * len(StepMetrics._fields)))
                 )
                 ms = jax.tree.unflatten(td, list(flat[:-1]))
-                n_steps = int(xs[0].shape[0])
+                n_steps = int(flat.shape[1])
                 n_images = n_steps * self.batch_size
                 for si in range(n_steps):
                     global_step += 1

@@ -369,3 +369,37 @@ def test_fused_epoch_pipelined_matches_plain():
     np.testing.assert_allclose(float(st_b), float(st_a), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(ovf_b), np.asarray(ovf_a))
     assert sums_b.shape == sums_a.shape
+
+
+def test_fused_epoch_stack_metrics():
+    """stack_metrics=True returns one f32[n_leaves+1, steps] matrix (metric
+    leaves in tree order, overflow last) built inside the program, equal to
+    stacking the unstacked outputs. The trainer's dispatch-ahead pipelining
+    relies on this: fetching the matrix is a pure D2H copy, so it does not
+    queue behind the next epoch's already-enqueued scan."""
+    info = build_fake_manifest(num_images=32, num_classes=4, seed=5)
+    mk = lambda: _pipeline(info, fake_mode=True, device_cache=True)
+
+    def step(state, batch):
+        s = jnp.sum(batch.images.astype(jnp.float32))
+        # multi-leaf metrics pytree (mirrors StepMetrics' shape)
+        return state + s, {"a": s, "b": s * 2.0, "c": jnp.sum(batch.labels)}
+
+    pipe_a = mk()
+    xs_a = pipe_a.epoch_host_arrays()
+    st_a, (ms_a, ovf_a) = pipe_a.build_fused_epoch_fn(step)(
+        jnp.zeros(()), pipe_a.device_arrays, xs_a
+    )
+
+    pipe_b = mk()
+    xs_b = pipe_b.epoch_host_arrays()
+    st_b, flat = pipe_b.build_fused_epoch_fn(step, stack_metrics=True)(
+        jnp.zeros(()), pipe_b.device_arrays, xs_b
+    )
+
+    ref = np.stack(
+        [np.asarray(l, np.float32) for l in jax.tree.leaves(ms_a)]
+        + [np.asarray(ovf_a, np.float32)]
+    )
+    np.testing.assert_allclose(np.asarray(flat), ref, rtol=1e-6)
+    np.testing.assert_allclose(float(st_b), float(st_a), rtol=1e-6)

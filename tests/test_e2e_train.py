@@ -139,6 +139,53 @@ def test_predict_path(tmp_path):
     assert set(preds[0]) == {"boxes", "scores", "classes"}
 
 
+def test_fused_dispatch_ahead_equivalence(tmp_path):
+    """Dispatch-ahead pipelining (epoch k+1's fused scan enqueued before
+    epoch k's metric fetch) is pure reordering of the same programs on the
+    same inputs: final params and metrics are bitwise identical to the
+    non-pipelined fused loop. Covers the donation hazard — boundaries that
+    read state (val/ckpt/end-of-fit) must suppress the pre-dispatch."""
+    import jax
+
+    def run(sub, ahead):
+        cfg = compose(
+            CONFIG_DIR,
+            overrides=[
+                "experiment=yv5n",
+                "dataset_name=fake",
+                "data.fake_mode=True",
+                "data.batch_size=8",
+                "data.target_image_size=64",
+                "data.max_targets=40",
+                "data.num_workers=2",
+                "data.pipeline=device",
+                "data.device_cache=True",
+                f"data.fused_dispatch_ahead={ahead}",
+                f"paths.output_dir={tmp_path}/{sub}",
+                f"callbacks.model_checkpoint.dirpath={tmp_path}/{sub}/ck",
+                "callbacks.model_checkpoint.every_n_epochs=2",
+                "logger=csv",
+                f"logger.csv.save_dir={tmp_path}/{sub}/csv",
+                "trainer.max_epochs=4",
+                "trainer.check_val_every_n_epoch=4",
+                "model.net.widen_factor=0.25",
+                "seed=11",
+            ],
+        )
+        t = Trainer(cfg)
+        metrics = t.fit()
+        return t, metrics
+
+    t_a, m_a = run("ahead", True)
+    t_b, m_b = run("plain", False)
+    for la, lb in zip(
+        jax.tree.leaves(t_a.state.params), jax.tree.leaves(t_b.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert m_a.keys() == m_b.keys()
+    np.testing.assert_allclose(m_a["map"], m_b["map"], rtol=1e-7)
+
+
 def test_trainer_exposes_components(tmp_path):
     t = Trainer(_cfg(tmp_path))
     assert t.net.num_classes == len(t.classes)
