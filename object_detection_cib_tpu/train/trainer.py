@@ -668,6 +668,9 @@ class Trainer:
         start_epoch = global_step // max(self.steps_per_epoch, 1)
         last_val: Dict[str, float] = {}
         overfit_cache = None
+        # a fit() interrupted mid-epoch must not leave a pre-dispatched
+        # epoch for a later fit() to consume as its first epoch
+        self._fused_inflight = None
         es_best, es_bad_epochs = None, 0
 
         # jax.profiler tracing (ref debug=profiler preset, SURVEY.md §5.1):
