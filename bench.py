@@ -139,13 +139,18 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
     dt = max(dt, 1e-6)
     n_chips = jax.device_count()
     ips = batch / dt / n_chips
-    if want_flops and flops_per_step:
-        tflops = flops_per_step / dt / 1e12
-        return ips, float(metrics.total), {
-            "tflops_per_sec": round(tflops, 1),
-            "mfu": round(tflops / PEAK_TFLOPS_BF16, 4),
-            "gflops_per_image": round(flops_per_step / batch / 1e9, 1),
-        }
+    if want_flops:
+        # always a 3-tuple when flops were requested: callers unpack three
+        # values even when cost_analysis was unavailable (flops -> None)
+        extras = None
+        if flops_per_step:
+            tflops = flops_per_step / dt / 1e12
+            extras = {
+                "tflops_per_sec": round(tflops, 1),
+                "mfu": round(tflops / PEAK_TFLOPS_BF16, 4),
+                "gflops_per_image": round(flops_per_step / batch / 1e9, 1),
+            }
+        return ips, float(metrics.total), extras
     return ips, float(metrics.total)
 
 
@@ -250,5 +255,55 @@ def main():
     print(json.dumps(out))
 
 
+def _probe_backend(attempts=3, timeout_s=120, sleep_s=20):
+    """Check device availability in a killable subprocess.
+
+    A dead axon relay makes ANY backend touch hang in a connect-retry loop
+    (no exception), so the probe must run out-of-process with a hard
+    timeout. Returns (ok, detail)."""
+    import subprocess
+    import sys
+
+    detail = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return True, r.stdout.strip()
+            detail = (r.stderr or r.stdout).strip()[-300:]
+        except subprocess.TimeoutExpired:
+            detail = f"backend init hang >{timeout_s}s (relay down?)"
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False, detail
+
+
 if __name__ == "__main__":
-    main()
+    ok, detail = _probe_backend()
+    if not ok:
+        # one structured line the driver can record instead of a traceback
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"device backend unavailable: {detail}",
+        }))
+        raise SystemExit(1)
+    try:
+        main()
+    except Exception as e:  # emit structured JSON, not a bare traceback
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        raise SystemExit(1)

@@ -17,7 +17,11 @@ from object_detection_cib_tpu.parallel.distributed import (
     is_main_process,
     maybe_initialize_from_env,
 )
-from object_detection_cib_tpu.train.trainer import get_metric_value, train
+from object_detection_cib_tpu.train.trainer import (
+    _select_platform,
+    get_metric_value,
+    train,
+)
 
 DEFAULT_CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
 
@@ -31,6 +35,11 @@ def main(argv=None):
     # env vars are set (parity: kod/configs/trainer/ddp.yaml via Lightning)
     maybe_initialize_from_env()
     cfg = compose(config_dir, "train", argv)
+    # select the jax platform BEFORE any backend touch (is_main_process()
+    # below initializes a backend; with trainer.platform=cpu the run must
+    # never try the TPU plugin — whose init blocks in a connect-retry loop
+    # when the device service is unreachable)
+    _select_platform(cfg.get("trainer") or {})
     # extras (parity: kod/configs/extras/default.yaml + hydra_utils/misc.py
     # extras(): warnings filter, tag enforcement, config-tree print)
     extras = cfg.get("extras") or {}

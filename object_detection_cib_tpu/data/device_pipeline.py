@@ -22,6 +22,7 @@ from __future__ import annotations
 import queue
 import random as pyrandom
 import threading
+from collections import deque as _deque
 from functools import partial
 from pathlib import Path
 from typing import Iterator, Optional
@@ -62,7 +63,14 @@ def _make_row_gather(corpus_shape):
     from object_detection_cib_tpu.ops import pallas_gather
 
     row_shape = tuple(corpus_shape[1:])
-    on_tpu = jax.devices()[0].platform != "cpu"
+    # explicit tpu check: a GPU backend must take the plain-gather fallback,
+    # not the pltpu PrefetchScalarGridSpec path (which only traces on TPU).
+    # Multi-process SPMD also takes the plain gather: GSPMD knows how to
+    # partition a gather-by-indices along the sharded index dim, but a
+    # pallas_call is an opaque custom call it cannot partition.
+    on_tpu = (
+        jax.devices()[0].platform == "tpu" and jax.process_count() == 1
+    )
     if on_tpu and pallas_gather.supports(corpus_shape):
 
         def prep(c):
@@ -250,6 +258,7 @@ class DeviceDataPipeline:
         device_put_fn=None,
         enable_ram_cache: bool = False,
         device_cache: bool = False,
+        fused_global_mesh=None,
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -275,6 +284,12 @@ class DeviceDataPipeline:
         # batch, fetched in one stacked transfer when overflow_total is read
         self._overflow_done = 0
         self._overflow_pending: list = []
+        # sampler-debug support: every epoch plan actually drawn is queued
+        # here (FIFO — the dispatch-ahead fused loop draws epoch k+1's plan
+        # before epoch k's stats dump), so the trainer can count instances
+        # for the exact epoch it trained without re-drawing the sampler
+        # (ref counts batch labels, kod/lightning/callbacks/sampler_debug.py:45-61)
+        self.consumed_plan_log: "_deque" = _deque(maxlen=8)
         # per-source-image target capacity before mosaic merge
         self.src_T = max(
             max((len(s.targets) for s in dataset_info.samples), default=1), 1
@@ -528,6 +543,12 @@ class DeviceDataPipeline:
             secs = np.zeros((n_batches, 0), np.int64)
         ks = jax.random.split(self.key, n_batches + 1)
         self.key = ks[0]
+        # every image index fed to the augment program this epoch (mosaic
+        # co-samples included; mixup co-mosaics counted regardless of the
+        # per-image blend coin, which is decided on device)
+        self.consumed_plan_log.append(
+            np.concatenate([groups.ravel(), secs.ravel()])
+        )
         return groups, secs, list(ks[1:])
 
     def __iter__(self) -> Iterator[Batch]:

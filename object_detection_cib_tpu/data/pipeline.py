@@ -168,6 +168,12 @@ class Prefetcher:
         self.drop_last = drop_last
         self.device_put_fn = device_put_fn
         self.overflow_total = 0
+        # sampler-debug support: primary indices of each epoch actually
+        # consumed, FIFO (mosaic co-samples are drawn inside the dataset's
+        # __getitem__ and are not recorded here)
+        from collections import deque
+
+        self.consumed_plan_log: deque = deque(maxlen=8)
 
     def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
@@ -185,6 +191,9 @@ class Prefetcher:
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches += 1
+        self.consumed_plan_log.append(
+            np.asarray(indices[: n_batches * self.batch_size])
+        )
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -17,6 +17,7 @@ decode+NMS step and streams into the numpy mAP evaluator.
 from __future__ import annotations
 
 import json
+import math
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -419,10 +420,15 @@ class Trainer:
         # interval table is the headless alternative (ref adds the progress
         # callback only when the rich bar is disabled, tasks/trainer.py:72-84)
         self.progress.enabled = self.progress.enabled and not self.rich_progress
-        # early stopping (parity: kod/configs/callbacks/early_stopping.yaml)
+        # early stopping (parity: kod/configs/callbacks/early_stopping.yaml
+        # -> lightning EarlyStopping: monitor/patience/mode/min_delta/
+        # check_finite; improvement = sign*(cur - best) > min_delta)
         es = callbacks_cfg.get("early_stopping") or {}
         self.es_patience = int(es.get("patience", 0))  # 0 = disabled
         self.es_monitor = es.get("monitor", "map")
+        self.es_mode = str(es.get("mode", "max"))
+        self.es_min_delta = float(es.get("min_delta", 0.0))
+        self.es_check_finite = bool(es.get("check_finite", False))
 
         # hyperparameter/param-count logging
         # (parity: kod/lightning/hydra_utils/logging.py:18-64)
@@ -695,12 +701,13 @@ class Trainer:
             and jax.process_count() == 1
         )
 
+        plan_src = None  # pipeline whose consumed_plan_log feeds sampler_debug
         for epoch in range(start_epoch, max_epochs):
             epoch_t0 = time.time()
             n_images = 0
 
             if use_fused:
-                pipe = self._train_prefetcher()
+                pipe = plan_src = self._train_prefetcher()
                 if self._fused_epoch_fn is None:
                     from object_detection_cib_tpu.parallel.mesh import (
                         batch_sharding,
@@ -774,11 +781,13 @@ class Trainer:
                         }
                         self._log(metrics, global_step)
                         self.progress.update(epoch, global_step, metrics)
-                m = jax.tree.map(lambda a: a[-1], ms)  # last step's metrics
+                # epoch-total compaction drops (the whole per-step vector is
+                # already on the host in the fused metric stack)
+                adrop = int(np.asarray(ms.assign_drop).sum())
                 fused_dropped = int(flat[-1].sum())
             elif overfit:
                 if overfit_cache is None:
-                    pf = self._train_prefetcher()
+                    pf = plan_src = self._train_prefetcher()
                     overfit_cache = []
                     for bi, b in enumerate(pf):
                         overfit_cache.append(b)
@@ -786,7 +795,7 @@ class Trainer:
                             break
                 batches = overfit_cache
             else:
-                batches = self._train_prefetcher()
+                batches = plan_src = self._train_prefetcher()
 
             if not use_fused:
                 n_batches = self.steps_per_epoch
@@ -796,6 +805,10 @@ class Trainer:
                     n_batches = max(int(n_batches * float(limit)), 1)
 
                 overflow_base = getattr(batches, "overflow_total", 0)
+                # per-step compaction-drop counts, accumulated as a lazy
+                # device scalar (one host fetch per epoch — a per-step
+                # int() would block on the device every step)
+                adrop_acc = None
                 bar = None
                 if self.rich_progress:
                     from object_detection_cib_tpu.utils.loggers import (
@@ -810,6 +823,9 @@ class Trainer:
                         jax.profiler.start_trace(str(self.out_dir / "profile"))
                         prof_active = True
                     self.state, m = self.train_step(self.state, batch)
+                    ad = getattr(m, "assign_drop", None)
+                    if ad is not None:
+                        adrop_acc = ad if adrop_acc is None else adrop_acc + ad
                     global_step += 1
                     if prof_active and global_step >= prof_start + prof_steps:
                         jax.block_until_ready(self.state.params)
@@ -833,20 +849,21 @@ class Trainer:
 
                 if bar:
                     bar.close()
+                adrop = int(adrop_acc) if adrop_acc is not None else 0
             dt = time.time() - epoch_t0
             ips = n_images / max(dt, 1e-9)
 
             # target-capacity overflow accounting: samples whose padded
             # target slots ran out this epoch (the reference drops nothing;
-            # we surface the drop count instead of silently truncating)
-            # loss-table compaction overflow (last step's count is a cheap
-            # proxy: nonzero at any point means the cap is too small)
-            adrop = int(m.assign_drop) if hasattr(m, "assign_drop") else 0
+            # we surface the drop count instead of silently truncating).
+            # adrop is the EPOCH TOTAL of loss-table-compaction drops —
+            # nonzero means the cap truncated valid assignments somewhere
+            # this epoch (changing the loss vs the reference)
             if adrop:
                 rank_zero_print(
                     f"[epoch {epoch}] WARNING: {adrop} valid assignment "
-                    "slots dropped by loss-table compaction in the last "
-                    "step; raise model.assign_compact_slots"
+                    "slots dropped by loss-table compaction this epoch; "
+                    "raise model.assign_compact_slots"
                 )
             dropped = (
                 fused_dropped
@@ -877,24 +894,40 @@ class Trainer:
                 if self.es_patience:
                     cur = last_val.get(self.es_monitor)
                     if cur is not None:
-                        if es_best is None or cur > es_best:
+                        stop_reason = None
+                        if self.es_check_finite and not math.isfinite(cur):
+                            stop_reason = (
+                                f"{self.es_monitor} = {cur} is not finite"
+                            )
+                        sign = -1.0 if self.es_mode == "min" else 1.0
+                        if stop_reason is None and (
+                            es_best is None
+                            or sign * (cur - es_best) > self.es_min_delta
+                        ):
                             es_best, es_bad_epochs = cur, 0
-                        else:
+                        elif stop_reason is None:
                             es_bad_epochs += 1
                             if es_bad_epochs >= self.es_patience:
-                                print(
-                                    f"early stopping: no {self.es_monitor} "
-                                    f"improvement for {self.es_patience} epochs",
-                                    flush=True,
+                                stop_reason = (
+                                    f"no {self.es_monitor} improvement "
+                                    f"(mode={self.es_mode}, min_delta="
+                                    f"{self.es_min_delta}) for "
+                                    f"{self.es_patience} epochs"
                                 )
-                                if self.ckpt:
-                                    self.ckpt.save_last(self.state)
-                                return last_val
+                        if stop_reason is not None:
+                            print(f"early stopping: {stop_reason}", flush=True)
+                            if self.ckpt:
+                                self.ckpt.save_last(self.state)
+                                # saves are async; drain so callers reading
+                                # the checkpoint right after fit() see a
+                                # complete 'last' on disk
+                                self.ckpt.wait_until_finished()
+                            return last_val
             if self.ckpt and (epoch + 1) % self.ckpt_every_n_epochs == 0:
                 self.ckpt.save_last(self.state)
 
-            if self.sampler_debug and self.sampler is not None:
-                self._dump_sampler_stats(epoch)
+            if self.sampler_debug:
+                self._dump_sampler_stats(epoch, plan_src)
 
         if prof_active:
             jax.block_until_ready(self.state.params)
@@ -911,11 +944,28 @@ class Trainer:
 
         return last_val
 
-    def _dump_sampler_stats(self, epoch: int):
-        """Instances-per-class seen this epoch (ref callbacks/sampler_debug)."""
-        idx = np.asarray(self.sampler.epoch_indices())
+    def _dump_sampler_stats(self, epoch: int, plan_src=None):
+        """Instances-per-class actually consumed this epoch (parity:
+        kod/lightning/callbacks/sampler_debug.py:45-61, which counts labels
+        of the batches the trainer saw).
+
+        Counts come from the pipeline's `consumed_plan_log` — the epoch plan
+        it drew and trained on (FIFO, so the dispatch-ahead fused loop's
+        early draw of epoch k+1 still dumps epoch k's plan here). The
+        sampler is never re-drawn: enabling this flag must not advance the
+        sampler RNG or change the training stream."""
+        log = getattr(plan_src, "consumed_plan_log", None)
+        if log:
+            idx = log.popleft()
+            self._last_sampler_plan = idx
+        else:
+            # overfit mode replays cached batches: reuse the one recorded
+            # plan; with no plan at all there is nothing truthful to dump
+            idx = getattr(self, "_last_sampler_plan", None)
+            if idx is None:
+                return
         counts = {c: 0 for c in self.classes}
-        for i in idx:
+        for i in np.asarray(idx):
             for t in self.train_info.samples[int(i)].targets:
                 counts[t.class_name] += 1
         if is_main_process():
