@@ -193,7 +193,8 @@ def main():
     ap.add_argument("--skip-416", action="store_true")
     ap.add_argument("--skip-sizes", action="store_true",
                     help="skip the m/l MFU characterization runs")
-    ap.add_argument("--remat", default=None, choices=["conv_out", "nothing"])
+    ap.add_argument("--remat", default=None,
+                    choices=["conv_out", "conv_out_bn_stats", "nothing"])
     ap.add_argument("--s2d", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="space-to-depth stem (exact rewrite; +0.8%%)")

@@ -49,17 +49,26 @@ from object_detection_cib_tpu.train.steps import Batch
 from object_detection_cib_tpu.utils.fs import get_root_dir
 
 
-def _make_row_gather(corpus_shape):
+def _make_row_gather(corpus_shape, planar: bool = False):
     """Corpus row gather: (prep, gather) pair.
 
     prep transforms the host corpus array before device_put; gather(ds, idx)
-    -> (K,) + row_shape. On TPU the gather is a Pallas DMA kernel over a
-    pre-flattened tile-aligned corpus (XLA's mini-gather scans/re-lays-out
-    the whole corpus per call — ~20 ms at 5k images; the kernel DMAs only
-    the requested rows, 0.81 ms measured). The reshape back to image form is
-    fenced with optimization_barrier so it stays a standalone relayout
-    instead of fusing into a serialized mega-transpose (measured 50 ms when
-    fused with the mosaic group split)."""
+    -> gathered rows. On TPU the gather is a Pallas DMA kernel (XLA's
+    mini-gather scans/re-lays-out the whole corpus per call — ~20 ms at 5k
+    images; the kernel DMAs only the requested rows, 0.81 ms measured).
+
+    planar=False (legacy "flat" layout): the corpus is pre-flattened to a
+    tile-aligned (N, 8, D/8) byte stream and the gathered block is reshaped
+    back to NHWC image form. That reshape is a real relayout (the NHWC
+    C=3-minor tiled layout differs from the packed stream) — fenced with
+    optimization_barrier so it stays standalone instead of fusing into a
+    serialized mega-transpose (measured 50 ms when fused with the mosaic
+    group split), but still a measured 4.7 ms/128-batch copy chain @416.
+
+    planar=True: the corpus is stored channel-first (N, 3, S, S) and the
+    kernel gathers whole (S, S) planes in the array's native tiled layout —
+    the exact operand form the separable-warp matmuls consume, so nothing
+    downstream relayouts (ROOFLINE.md relayout-chain lever)."""
     from object_detection_cib_tpu.ops import pallas_gather
 
     row_shape = tuple(corpus_shape[1:])
@@ -71,6 +80,14 @@ def _make_row_gather(corpus_shape):
     on_tpu = (
         jax.devices()[0].platform == "tpu" and jax.process_count() == 1
     )
+    if planar:
+
+        def prep_p(c):  # (N, S, S, 3) uint8 -> (N, 3, S, S)
+            return np.ascontiguousarray(np.transpose(c, (0, 3, 1, 2)))
+
+        if on_tpu:
+            return prep_p, pallas_gather.gather_rows_planar
+        return prep_p, (lambda ds, idx: ds[idx])
     if on_tpu and pallas_gather.supports(corpus_shape):
 
         def prep(c):
@@ -93,12 +110,19 @@ def build_device_augment_fn(
     max_targets: int = 120,
     use_mosaic: bool = True,
     warp_precision: str = "exact",
+    planar: bool = False,
 ):
     """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
 
     use_mosaic=False (the no_mosaic recipe, ref detection.py:74-76) skips
     the 4-way mosaic: each source image is center-letterboxed to S (host
     SampleReader letterbox parity) and the affine runs with border (0, 0).
+
+    planar=True: sample images arrive channel-first (B, 3, S, S) — the
+    HBM-corpus gather's native block form — and flow planar through the
+    fused mosaic-warp + HSV, transposed to NHWC only in the final
+    normalize. Requires the fused path (mosaic + axis-aligned warp);
+    bit-identical results (tests/test_planar_corpus.py).
     """
     ap = aug.affine_params
     border = (-target_size // 2, -target_size // 2) if use_mosaic else (0, 0)
@@ -106,6 +130,9 @@ def build_device_augment_fn(
     # -> the warp is separable and runs on the MXU (ops/augment.py)
     axis_aligned = (
         ap.degrees == 0.0 and ap.shear == 0.0 and ap.perspective == 0.0
+    )
+    assert not planar or (use_mosaic and axis_aligned), (
+        "planar corpus layout requires the fused mosaic + axis-aligned path"
     )
 
     def letterbox_center(sample: DeviceSample) -> DeviceSample:
@@ -146,11 +173,14 @@ def build_device_augment_fn(
                 )
             s = mosaic_affine_batch(
                 sample, k_m, values, target_size, flip_do=do,
-                precision=warp_precision,
+                precision=warp_precision, planar=planar,
             )
             if hp.should_aug():
                 s = s._replace(
-                    images=hsv_batch(s.images, k_h, hp.hue, hp.saturation, hp.value)
+                    images=hsv_batch(
+                        s.images, k_h, hp.hue, hp.saturation, hp.value,
+                        channel_axis=1 if planar else -1,
+                    )
                 )
             if do is not None:
                 s = s._replace(boxes=flip_boxes(s.boxes, do, target_size))
@@ -199,10 +229,13 @@ def build_device_augment_fn(
             labels = jnp.pad(s.labels, ((0, 0), (0, pad)))
             mask = jnp.pad(s.mask, ((0, 0), (0, pad)))
             overflow = jnp.zeros((), jnp.int32)
+        images = s.images
+        if planar:  # back to NHWC for the network; fuses with the normalize
+            images = jnp.transpose(images, (0, 2, 3, 1))
         batch = Batch(
             # bf16 feed: the network computes in bf16 anyway; halves the
             # host->device transfer and avoids an on-device convert+relayout
-            images=(s.images / 255.0).astype(jnp.bfloat16),
+            images=(images / 255.0).astype(jnp.bfloat16),
             boxes=boxes,
             labels=jnp.where(mask, labels, 0),
             mask=mask,
@@ -259,6 +292,7 @@ class DeviceDataPipeline:
         enable_ram_cache: bool = False,
         device_cache: bool = False,
         fused_global_mesh=None,
+        corpus_layout: str = "planar",
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -275,9 +309,22 @@ class DeviceDataPipeline:
         self.key = jax.random.PRNGKey(seed)
         self.pyrng = pyrandom.Random(seed)
         self.label_to_index = {c: i for i, c in enumerate(dataset_info.classes)}
+        # planar HBM corpus (channel-first planes, see _make_row_gather):
+        # only meaningful in device_cache mode on the fused mosaic+axis-
+        # aligned path; anything else quietly uses the NHWC flow (the host
+        # stage ships NHWC canvases)
+        ap = aug_params.affine_params
+        self.planar = (
+            corpus_layout == "planar"
+            and device_cache
+            and use_mosaic
+            and ap.degrees == 0.0
+            and ap.shear == 0.0
+            and ap.perspective == 0.0
+        )
         self.augment_fn = build_device_augment_fn(
             target_size, aug_params, mixup_prob, max_targets, use_mosaic,
-            warp_precision=warp_precision,
+            warp_precision=warp_precision, planar=self.planar,
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per
@@ -303,9 +350,19 @@ class DeviceDataPipeline:
         # host->device traffic drops to indices+targets. The natural mode
         # when the resized corpus fits in HBM (e.g. coco-zipf @416 ≈ 3GB).
         self.device_cache = device_cache
+        # multi-host fused-epoch mode: the HBM corpus is placed as a GLOBAL
+        # replicated array over `fused_global_mesh` and epoch_host_arrays()
+        # returns global per-step index/key arrays, so the whole fused epoch
+        # scan runs SPMD across processes (SURVEY §5.8: per-host identical
+        # plan under global-mesh SPMD). Single-process runs ignore this.
+        self.fused_global_mesh = fused_global_mesh
+        self._fused_global = (
+            fused_global_mesh is not None and jax.process_count() > 1
+        )
         self._ds_images = None
         self._ds_sizes = None
         self._gather_augment = None
+        self._gather_augment_raw = None
         if device_cache:
             self._build_device_cache()
 
@@ -342,9 +399,26 @@ class DeviceDataPipeline:
             canvases, sizes, fails = native_loader.pack_batch(bufs, self.S)
             if fails:
                 raise ValueError(f"{fails} JPEG decode failures in dataset")
-        prep, self._gather = _make_row_gather(canvases.shape)
-        self._ds_images = jax.device_put(prep(canvases))
-        self._ds_sizes = jax.device_put(sizes)
+        prep, self._gather = _make_row_gather(
+            canvases.shape, planar=self.planar
+        )
+        if self._fused_global:
+            # global replicated placement: every host decodes the identical
+            # full corpus (dataset_info is the same on all hosts), so each
+            # host's full copy IS the local shard of a replicated array
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.fused_global_mesh, P())
+
+            def dput(a):
+                a = np.asarray(a)
+                return jax.make_array_from_callback(
+                    a.shape, repl, lambda i: a[i]
+                )
+        else:
+            dput = jax.device_put
+        self._ds_images = dput(prep(canvases))
+        self._ds_sizes = dput(sizes)
         # dense per-image target arrays, precomputed once: per-step group
         # assembly becomes one numpy fancy-index instead of a Python loop
         # over indices x targets (measured ~1s/step of host time on a
@@ -362,9 +436,9 @@ class DeviceDataPipeline:
         # shrinks to the index array + key — the per-image target rows are
         # gathered on device. (The tunnel in this environment moves ~12 MB/s;
         # shipping dense per-group target arrays was ~20 ms/step.)
-        self._ds_tb = jax.device_put(tb)
-        self._ds_tl = jax.device_put(tl)
-        self._ds_tm = jax.device_put(tm)
+        self._ds_tb = dput(tb)
+        self._ds_tl = dput(tl)
+        self._ds_tm = dput(tm)
 
         core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
         gather = self._gather
@@ -377,7 +451,6 @@ class DeviceDataPipeline:
 
         if self.mixup_prob > 0.0:
 
-            @jax.jit
             def gather_and_augment(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm,
                                    idx, idx2, key):
                 p = pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx)
@@ -386,13 +459,18 @@ class DeviceDataPipeline:
 
         else:
 
-            @jax.jit
             def gather_and_augment(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm,
                                    idx, key):
                 p = pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx)
                 return core(p, key)
 
-        self._gather_augment = gather_and_augment
+        self._gather_augment_raw = gather_and_augment
+        # per-host jitted version for the iterator path; in multi-host fused
+        # mode the corpus arrays are global (non-addressable shards exist),
+        # so only the fused SPMD program may consume them
+        self._gather_augment = (
+            None if self._fused_global else jax.jit(gather_and_augment)
+        )
 
     def _group_targets(self, indices):
         idx = np.asarray(indices, np.int64)
@@ -478,11 +556,18 @@ class DeviceDataPipeline:
         )
 
     # -------------------------- epoch iterator --------------------------
-    def _epoch_plan(self):
+    def _epoch_plan(self, B=None, shard_for_host=True):
         """One epoch's sampling, exactly as the `__iter__` producer draws it:
         (per-step group index lists, per-step mixup co-sample lists, per-step
         RNG keys). Advances sampler/pyrng/key state identically, so the
-        fused-epoch path and the iterator path produce the same stream."""
+        fused-epoch path and the iterator path produce the same stream.
+
+        B: per-step primary count (default self.B). The multi-host fused
+        path draws ONE GLOBAL plan per epoch (B = nproc*self.B,
+        shard_for_host=False) — every host draws it identically from the
+        identically-seeded sampler/pyrng/key state, so a 2-process run's
+        stream equals a single-process run's at the same global batch."""
+        B = self.B if B is None else B
         if self.sampler is not None:
             epoch_idx = np.asarray(self.sampler.epoch_indices())
         else:
@@ -493,15 +578,15 @@ class DeviceDataPipeline:
         # epoch stream (DistributedSampler analog; parallel/distributed.py)
         import jax as _jax
 
-        if _jax.process_count() > 1:
+        if shard_for_host and _jax.process_count() > 1:
             from object_detection_cib_tpu.data.samplers import shard_indices
 
             epoch_idx = shard_indices(
                 epoch_idx, _jax.process_index(), _jax.process_count()
             )
         epoch_idx = np.asarray(epoch_idx, np.int64)
-        n_batches = len(epoch_idx) // self.B
-        n_prim = n_batches * self.B
+        n_batches = len(epoch_idx) // B
+        n_prim = n_batches * B
         # Vectorized sampling: the per-image random.choices + shuffle loop
         # cost ~0.4 s/epoch on a 1-core host (~10 ms/step of the fused-loop
         # budget at 39 steps/epoch). One numpy draw per epoch is the same
@@ -534,9 +619,9 @@ class DeviceDataPipeline:
                 axis=1,
             )
             quads = rng.permuted(quads, axis=1)
-            groups = quads.reshape(n_batches, 4 * self.B)
+            groups = quads.reshape(n_batches, 4 * B)
         else:
-            groups = epoch_idx[:n_prim].reshape(n_batches, self.B)
+            groups = epoch_idx[:n_prim].reshape(n_batches, B)
         if self.mixup_prob > 0.0:
             secs = draw(4 * n_prim).reshape(n_batches, 4 * self.B)
         else:
@@ -570,6 +655,14 @@ class DeviceDataPipeline:
                             )
                         else:
                             batch, ovf = self._gather_augment(*ds, idx, k)
+                    elif self.planar:
+                        # host canvases are NHWC; the planar augment fn only
+                        # consumes gathered corpus planes
+                        raise RuntimeError(
+                            "planar corpus mode has no host-feed path; "
+                            "iterate via the device cache or set "
+                            "corpus_layout=flat"
+                        )
                     elif self.mixup_prob > 0.0:
                         primary = self._load_group(group)
                         secondary = self._load_group(sec)
@@ -607,7 +700,33 @@ class DeviceDataPipeline:
         scan: (idx[, idx2], keys), each with leading dim = steps (targets
         are HBM-resident and gathered on device). Draws through
         `_epoch_plan`, so the stream (and the sampler/pyrng/key state
-        advance) is identical to iterating the pipeline."""
+        advance) is identical to iterating the pipeline.
+
+        Multi-host fused mode: the plan is GLOBAL (drawn identically on
+        every host at batch nproc*B) and returned as global jax arrays —
+        index columns sharded over the mesh's data axis, per-step keys
+        replicated — so the fused scan runs one SPMD program whose random
+        draws (global-shaped, replicated keys) are bitwise those of a
+        single-process run at the same global batch."""
+        if self._fused_global:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            groups, secs, keys = self._epoch_plan(
+                B=self.B * _jax.process_count(), shard_for_host=False
+            )
+
+            def mk(a, spec):
+                a = np.asarray(a)
+                sh = NamedSharding(self.fused_global_mesh, spec)
+                return jax.make_array_from_callback(
+                    a.shape, sh, lambda i: a[i]
+                )
+
+            xs = (mk(np.asarray(groups, np.int32), P(None, "data")),)
+            if self.mixup_prob > 0.0:
+                xs = xs + (mk(np.asarray(secs, np.int32), P(None, "data")),)
+            return xs + (mk(np.asarray(jnp.stack(keys)), P()),)
         groups, secs, keys = self._epoch_plan()
         xs = (jnp.asarray(np.asarray(groups, np.int32)),)
         if self.mixup_prob > 0.0:
@@ -636,8 +755,10 @@ class DeviceDataPipeline:
         device->host copy with no follow-up device program, so it does not
         queue behind the next epoch's already-dispatched scan.
         """
-        assert self._gather_augment is not None, "fused mode needs device_cache"
-        ga = self._gather_augment
+        assert self._gather_augment_raw is not None, (
+            "fused mode needs device_cache"
+        )
+        ga = self._gather_augment_raw
 
         def make_batch(ds, x):
             gx, key = x[:-1], x[-1]

@@ -36,6 +36,99 @@ def torch_bias_init(key, shape, dtype, fan_in: int):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class TaggedBatchNorm(nn.BatchNorm):
+    """nn.BatchNorm with the batch statistics tagged for remat policies.
+
+    Identical math and variable tree to flax's BatchNorm (this overrides
+    ``__call__`` with the upstream body plus two ``checkpoint_name`` no-op
+    tags on the freshly computed mean/var). Purpose: the "conv_out" remat
+    policy recomputes the BN statistics in the backward pass — an extra
+    full read of every conv output — which is exactly why it measured
+    negative at 640px (ROOFLINE.md). Policy "conv_out_bn_stats"
+    additionally saves these tiny per-channel stats, keeping the backward
+    recompute to the cheap normalize+SiLU elementwise chain.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import normalization as fnorm
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average,
+        )
+        feature_axes = fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes
+        )
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, stats_dtype), feature_shape,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, stats_dtype), feature_shape,
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = fnorm._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=(
+                    self.axis_name if not self.is_initializing() else None
+                ),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            # no-op tags; saved by remat_policy="conv_out_bn_stats"
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
+
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+
+        return fnorm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 class ConvBnAct(nn.Module):
     """Conv (no bias) + BatchNorm + SiLU — Conv2dNormActivation equivalent."""
 
@@ -66,7 +159,7 @@ class ConvBnAct(nn.Module):
         # conv outputs are saved for backward — BN normalize + SiLU are
         # recomputed fused into the backward kernels (HBM-traffic trade)
         x = checkpoint_name(x, "conv_out")
-        x = nn.BatchNorm(
+        x = TaggedBatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
             epsilon=self.bn_eps,
@@ -134,7 +227,7 @@ class SpaceToDepthStem(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = self._Conv(self.features, dtype=self.dtype, name="conv")(x)
         x = checkpoint_name(x, "conv_out")
-        x = nn.BatchNorm(
+        x = TaggedBatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
             epsilon=self.bn_eps,

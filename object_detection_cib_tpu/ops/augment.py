@@ -456,6 +456,7 @@ def mosaic_affine_batch(
     target_size: int,
     flip_do: Optional[jnp.ndarray] = None,
     precision: str = "exact",
+    planar: bool = False,
 ) -> DeviceSample:
     """Fused 4-image mosaic + axis-aligned affine warp, canvas-free.
 
@@ -486,15 +487,28 @@ def mosaic_affine_batch(
     saving a full-image flip+select pass. Box mirroring stays in
     `flip_batch` semantics and must be applied by the caller via
     `flip_boxes`.
+
+    planar: images are channel-first (B, 3, S, S) and the output is
+    (B//4, 3, S, S). Bit-identical pixel math (the einsums contract w then
+    h in the same per-element order); exists because the HBM-resident
+    corpus gather emits planar blocks whose (H, W) minor dims are already
+    in the layout the tap matmuls consume — the NHWC form's C=3 minor dim
+    forces XLA to relayout the gathered batch every step (a measured
+    4.7 ms/128-batch pure data-formatting chain @416, ROOFLINE.md).
     """
-    B, S, _, _ = sample.images.shape
+    if planar:
+        B, _, S, _ = sample.images.shape
+    else:
+        B, S, _, _ = sample.images.shape
     assert B % 4 == 0
     G = B // 4
     S2 = 2 * target_size
     centers = jax.random.randint(
         key, (G, 2), target_size // 2, 2 * target_size - target_size // 2
     )  # same draw as mosaic4_batch
-    imgs = sample.images.reshape(G, 4, S, S, 3)
+    imgs = sample.images.reshape(
+        (G, 4, 3, S, S) if planar else (G, 4, S, S, 3)
+    )
     sizes = sample.sizes.reshape(G, 4, 2)
     boxes = sample.boxes.reshape(G, 4, -1, 4)
     labels = sample.labels.reshape(G, 4, -1)
@@ -556,9 +570,13 @@ def mosaic_affine_batch(
         "exact": jax.lax.Precision.HIGHEST,
         "fast": jax.lax.Precision.DEFAULT,
     }[precision]
-    img = imgs.astype(jnp.float32) - FILL  # (G, 4, S, S, 3)
-    t = jnp.einsum("gqhwc,gqxw->gqhxc", img, Ax, precision=prec)
-    out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec)
+    img = imgs.astype(jnp.float32) - FILL
+    if planar:  # (G, 4, 3, S, S): w-pass then h-pass, same tap order
+        t = jnp.einsum("gqchw,gqxw->gqchx", img, Ax, precision=prec)
+        out = jnp.einsum("gqyh,gqchx->gcyx", Ay, t, precision=prec)
+    else:  # (G, 4, S, S, 3)
+        t = jnp.einsum("gqhwc,gqxw->gqhxc", img, Ax, precision=prec)
+        out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec)
     out_imgs = jnp.rint(out + FILL)
 
     proc, new_mask = _affine_boxes(mb, mm, values, M, target_size)
@@ -592,6 +610,7 @@ def hsv_batch(
     saturation: float = 0.7,
     value: float = 0.4,
     r: Optional[jnp.ndarray] = None,
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
     """uint8-LUT-exact HSV jitter (ref default.py:354-383 via cv2 8U paths).
 
@@ -619,7 +638,11 @@ def hsv_batch(
 
     r: optional (B, 3) gain array (tests inject the host's draw); default
     drawn from `key` as U(-1,1)*[hue,saturation,value]+1.
+
+    channel_axis: -1 (NHWC, default) or 1 (planar NCHW — the HBM-corpus
+    fast path); pure elementwise math either way, bit-identical results.
     """
+    assert channel_axis in (-1, 1)
     B = images.shape[0]
     if r is None:
         if hue == 0.0 and saturation == 0.0 and value == 0.0:
@@ -646,7 +669,10 @@ def hsv_batch(
 
     img = jnp.clip(jnp.round(images), 0, 255).astype(jnp.int32)
     # cv2 BGR2HSV on an RGB array: channel order (b,g,r) = (ch0,ch1,ch2)
-    bch, gch, rch = img[..., 0], img[..., 1], img[..., 2]
+    if channel_axis == 1:
+        bch, gch, rch = img[:, 0], img[:, 1], img[:, 2]
+    else:
+        bch, gch, rch = img[..., 0], img[..., 1], img[..., 2]
 
     v = jnp.maximum(jnp.maximum(bch, gch), rch)
     vmin = jnp.minimum(jnp.minimum(bch, gch), rch)
@@ -705,7 +731,8 @@ def hsv_batch(
     r_out = w(sector == 1, tab2,
               w((sector == 2) | (sector == 3), tab1,
                 w(sector == 4, tab3, tab0)))
-    out = jnp.stack([b_out, g_out, r_out], axis=-1)  # back to (b,g,r)=(0,1,2)
+    # back to (b,g,r)=(0,1,2), in the caller's channel layout
+    out = jnp.stack([b_out, g_out, r_out], axis=channel_axis)
     return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(images.dtype)
 
 

@@ -67,6 +67,42 @@ def gather_rows_flat(
     )(idx.astype(jnp.int32), flat)
 
 
+def gather_rows_planar(
+    corpus: jnp.ndarray, idx: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
+    """corpus (N, C, H, W); idx (K,) int32 -> (K, C, H, W) == corpus[idx].
+
+    Planar-corpus variant: blocks are whole (H, W) channel planes, so the
+    output keeps the array's native (H, W)-minor tiled layout — exactly the
+    operand form the downstream separable-warp matmuls consume. The flat
+    (N, 8, D/8) form (gather_rows_flat) instead emits a packed byte stream
+    that XLA must relayout+reshape into image form before the warp (a
+    measured 4.7 ms/128-batch @416 pure data-formatting chain, ROOFLINE.md).
+    Per-plane VMEM block H*W bytes (u8): 173 KB @416, 410 KB @640 — safely
+    under the Mosaic scratch cap with double buffering.
+    """
+    n, c, h, w = corpus.shape
+    k = idx.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k, c),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h, w), lambda i, j, idx_ref: (idx_ref[i], j, 0, 0)
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w), lambda i, j, idx_ref: (i, j, 0, 0)
+        ),
+    )
+    return pl.pallas_call(
+        _copy_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c, h, w), corpus.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), corpus)
+
+
 def gather_rows(
     corpus: jnp.ndarray, idx: jnp.ndarray, *, interpret: bool = False
 ) -> jnp.ndarray:

@@ -109,10 +109,18 @@ def make_train_step(
     remat_policy: None (save everything, XLA default) | "conv_out" (save
     only tagged conv outputs; BN+SiLU recompute fuses into backward —
     trades recompute FLOPs for HBM activation traffic, the profiled wall
-    at 640px, see ROOFLINE.md) | "nothing" (full per-step recompute).
+    at 640px, see ROOFLINE.md) | "conv_out_bn_stats" (also save the tiny
+    per-channel BN batch stats, so the backward recompute is just the
+    normalize+SiLU elementwise chain) | "nothing" (full recompute).
     """
     remat_policies = {
         "conv_out": jax.checkpoint_policies.save_only_these_names("conv_out"),
+        # conv_out + the per-channel BN batch stats: fixes why plain
+        # conv_out measured negative (recomputing BN stats re-reads every
+        # conv output in backward; the stats themselves are tiny)
+        "conv_out_bn_stats": jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "bn_stats"
+        ),
         "nothing": jax.checkpoint_policies.nothing_saveable,
     }
     if remat_policy is not None and remat_policy not in remat_policies:

@@ -312,8 +312,15 @@ class Trainer:
         self.class_weights = class_weights
 
         self.max_epochs = int(tcfg["max_epochs"])
+        # optimizer steps per epoch: each of the nproc hosts feeds its own
+        # B-row shard of a global nproc*B batch per step (Lightning parity:
+        # the per-rank loader length under DDP is N // (world_size * B))
         steps_per_epoch = (
-            max(len(self.train_info.samples) // self.batch_size, 1)
+            max(
+                len(self.train_info.samples)
+                // (self.batch_size * jax.process_count()),
+                1,
+            )
             if self.train_info
             else 1
         )
@@ -484,6 +491,25 @@ class Trainer:
             for k, v in groups.items():
                 print(f"  {k}: {v:,}")
 
+    def _fused_config(self) -> bool:
+        """True when config selects the fused-epoch production loop (one
+        XLA program per epoch over the HBM-resident corpus). Any per-step
+        control flow (fdr/overfit/limit/profiler) falls back to the step
+        loop."""
+        tcfg = self.cfg["trainer"]
+        dcfg = self.cfg["data"]
+        return (
+            dcfg.get("pipeline") == "device"
+            and bool(dcfg.get("device_cache"))
+            and bool(dcfg.get("fused_epoch", True))
+            and not (
+                tcfg.get("fast_dev_run")
+                or tcfg.get("overfit_batches")
+                or tcfg.get("limit_train_batches")
+                or tcfg.get("profiler")
+            )
+        )
+
     def _train_prefetcher(self):
         dcfg = self.cfg["data"]
         if dcfg.get("pipeline") == "device":
@@ -515,6 +541,13 @@ class Trainer:
                 enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
                 device_cache=bool(dcfg.get("device_cache", False)),
                 warp_precision=dcfg.get("warp_precision", "fast"),
+                corpus_layout=dcfg.get("corpus_layout", "planar"),
+                # multi-host fused epochs run SPMD over the global mesh
+                fused_global_mesh=(
+                    self.mesh
+                    if self._fused_config() and jax.process_count() > 1
+                    else None
+                ),
             )
             return self._device_pipeline
         return Prefetcher(
@@ -693,13 +726,7 @@ class Trainer:
         # programs serialize anyway, and per-step dispatch rides the host
         # RTT. Falls back to the step loop under any per-step control flow.
         dcfg_f = self.cfg["data"]
-        use_fused = (
-            dcfg_f.get("pipeline") == "device"
-            and bool(dcfg_f.get("device_cache"))
-            and bool(dcfg_f.get("fused_epoch", True))
-            and not (fdr or overfit or limit or prof_cfg)
-            and jax.process_count() == 1
-        )
+        use_fused = self._fused_config()
 
         plan_src = None  # pipeline whose consumed_plan_log feeds sampler_debug
         for epoch in range(start_epoch, max_epochs):
@@ -768,7 +795,11 @@ class Trainer:
                 )
                 ms = jax.tree.unflatten(td, list(flat[:-1]))
                 n_steps = int(flat.shape[1])
-                n_images = n_steps * self.batch_size
+                # global images this epoch: the multi-host fused plan runs
+                # at global batch nproc*B per step
+                n_images = n_steps * self.batch_size * (
+                    jax.process_count() if pipe._fused_global else 1
+                )
                 for si in range(n_steps):
                     global_step += 1
                     if global_step % log_every == 0:

@@ -141,6 +141,85 @@ print(json.dumps({"pid": pid, "metrics": ev.results_dict()}))
 """
 
 
+_FUSED_WORKER = r"""
+import os, sys, json
+import numpy as np
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+coord = sys.argv[3]
+per_host_b = int(sys.argv[4])
+out_dir = sys.argv[5]
+ndev = 4 // nproc  # 2 procs x 2 devs == 1 proc x 4 devs
+
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+if nproc > 1:
+    from object_detection_cib_tpu.parallel.distributed import initialize_multihost
+    assert initialize_multihost(coord, nproc, pid)
+
+from pathlib import Path
+from object_detection_cib_tpu.config import compose
+from object_detection_cib_tpu.train.trainer import Trainer
+
+cfg = compose(
+    Path(os.environ["KOD_TEST_CONFIG_DIR"]),
+    overrides=[
+        "experiment=yv5n",
+        "dataset_name=fake",
+        "data.fake_mode=True",
+        f"data.batch_size={per_host_b}",
+        "data.target_image_size=64",
+        "data.max_targets=40",
+        "data.num_workers=2",
+        "data.pipeline=device",
+        "data.device_cache=True",
+        "model.net.widen_factor=0.25",
+        "model.net.deepen_factor=0.34",
+        # f32 compute: the cross-topology comparison must not drown in
+        # bf16 reassociation noise (a 2x2 vs 1x4 mesh legally reassociates
+        # every reduction; with bf16 grads + BN + SGD momentum the ~1e-3
+        # per-step differences amplify chaotically over epochs)
+        "model.net.dtype=float32",
+        f"paths.output_dir={out_dir}/p{pid}",
+        "callbacks.model_checkpoint=null",
+        "logger=csv",
+        f"logger.csv.save_dir={out_dir}/p{pid}/csv",
+        "trainer.max_epochs=2",
+        "trainer.check_val_every_n_epoch=4",
+        "seed=11",
+    ],
+)
+t = Trainer(cfg)
+if nproc > 1:
+    # the fused loop must actually engage its multi-host SPMD mode
+    pipe = t._train_prefetcher()
+    assert pipe._fused_global, "multi-host fused mode did not engage"
+
+def snap():
+    leaves = jax.tree.leaves(t.state.params)
+    vals = [np.asarray(jax.device_get(l)) for l in leaves]
+    checksum = float(sum(np.float64(v).sum() for v in vals))
+    first = np.concatenate([v.ravel()[:5] for v in vals[:4]]).tolist()
+    return checksum, first
+
+init_checksum, init_first = snap()
+# record the epoch plans as drawn (diagnostic: data-stream equality)
+pipe2 = t._train_prefetcher()
+plan_probe = [
+    float(np.float64(p).sum()) for p in [pipe2._epoch_plan()[0]]
+]
+t.fit()
+checksum, first = snap()
+print(json.dumps({"pid": pid, "checksum": checksum, "first": first,
+                  "init_checksum": init_checksum, "init_first": init_first,
+                  "plan0_sum": plan_probe, "steps": int(t.state.step)}))
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -202,6 +281,61 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(r0["first"], rs["first"], rtol=2e-4, atol=1e-6)
     assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-5)
     assert r0["loss"] == pytest.approx(rs["loss"], rel=1e-3)
+
+
+def test_two_process_fused_epoch_matches_single_process(tmp_path):
+    """The fused-epoch production loop under 2-process SPMD: both processes
+    end bitwise-replicated, with the same number of optimizer steps and the
+    same params (up to cross-topology reduction order) as a single-process
+    fused run at the identical global batch — the multi-host plan is drawn
+    globally and identically on every host (VERDICT r3 #4)."""
+    import json
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get("PYTHONPATH", "")
+    env["KOD_TEST_CONFIG_DIR"] = str(Path(__file__).resolve().parents[1] / "configs")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    def run(pid, nproc, coord, per_host_b, out):
+        return subprocess.Popen(
+            [sys.executable, "-c", _FUSED_WORKER, str(pid), str(nproc),
+             coord, str(per_host_b), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True,
+        )
+
+    coord = f"localhost:{_free_port()}"
+    p0 = run(0, 2, coord, 8, str(tmp_path / "mp"))
+    p1 = run(1, 2, coord, 8, str(tmp_path / "mp"))
+    out0, err0 = p0.communicate(timeout=900)
+    out1, err1 = p1.communicate(timeout=900)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+    r0 = json.loads(out0.strip().splitlines()[-1])
+    r1 = json.loads(out1.strip().splitlines()[-1])
+    # replication across processes is exact
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
+    assert r0["first"] == pytest.approx(r1["first"], rel=1e-12)
+
+    # single-process fused reference at the same GLOBAL batch (16) over the
+    # same 4 devices
+    ps = run(0, 1, "unused", 16, str(tmp_path / "sp"))
+    outs, errs = ps.communicate(timeout=900)
+    assert ps.returncode == 0, errs[-3000:]
+    rs = json.loads(outs.strip().splitlines()[-1])
+    assert r0["steps"] == rs["steps"]
+    # same model init on both topologies (isolates init from training)
+    assert r0["init_checksum"] == pytest.approx(
+        rs["init_checksum"], rel=1e-9
+    )
+    np.testing.assert_allclose(r0["init_first"], rs["init_first"], rtol=1e-7)
+    # cross-topology tolerance: the gradient psum and fusion boundaries
+    # legally reassociate between a 2x2 and a 1x4 device mesh; the ~1e-7
+    # per-reduction differences compound through BN + SGD momentum over
+    # 8 steps (measured: max abs 3.8e-5 on init-scale weights in f32)
+    np.testing.assert_allclose(r0["first"], rs["first"], rtol=5e-3, atol=5e-5)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-4)
 
 
 def test_shard_indices_partition_property():

@@ -128,7 +128,7 @@ def test_eval_step_on_mesh(setup):
     assert res.boxes.shape == (8, 10, 4)
 
 
-@pytest.mark.parametrize("policy", ["conv_out", "nothing"])
+@pytest.mark.parametrize("policy", ["conv_out", "conv_out_bn_stats", "nothing"])
 def test_remat_policy_equivalence(setup, policy):
     """remat recompute must not change the step's math (same grads/params).
 
