@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.profile_step import PEAK_HBM_GBPS, parse_xplane  # noqa: E402
 
 
-def build(S, B, N, T, mixup=0.0, precision="fast"):
+def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar"):
     from object_detection_cib_tpu.data.device_pipeline import (
         DeviceSample,
         _make_row_gather,
@@ -39,12 +39,13 @@ def build(S, B, N, T, mixup=0.0, precision="fast"):
 
     from jax.experimental.layout import Format, Layout
 
+    planar = layout == "planar"
     core = build_device_augment_fn(S, AugParams(), mixup, 120, True,
-                                   warp_precision=precision)
+                                   warp_precision=precision, planar=planar)
     rng = np.random.default_rng(0)
     corpus = rng.integers(0, 256, (N, S, S, 3), dtype=np.uint8)
     ds_sizes = jax.device_put(np.full((N, 2), S, np.int32))
-    prep, gather = _make_row_gather(corpus.shape)
+    prep, gather = _make_row_gather(corpus.shape, planar=planar)
     ds_imgs = jax.device_put(prep(corpus))
     ds_tb = jax.device_put(rng.uniform(0, S, (N, T, 4)).astype(np.float32))
     ds_tl = jax.device_put(np.zeros((N, T), np.int32))
@@ -73,11 +74,12 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--precision", default="fast", choices=["fast", "exact"])
+    ap.add_argument("--layout", default="planar", choices=["planar", "flat"])
     args = ap.parse_args()
 
     if not args.parse_only:
         fn, fargs = build(args.img, args.batch, args.corpus, args.targets,
-                          precision=args.precision)
+                          precision=args.precision, layout=args.layout)
         for _ in range(3):
             out, ovf = fn(*fargs)
         jax.block_until_ready(out.images)
