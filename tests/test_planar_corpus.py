@@ -109,6 +109,7 @@ def _pipe(layout, mixup=0.0, seed=4):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mixup", [0.0, 0.5])
 def test_pipeline_planar_matches_flat(mixup):
     """Full device pipeline: the planar corpus layout yields the identical
@@ -121,6 +122,7 @@ def test_pipeline_planar_matches_flat(mixup):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_fused_epoch_planar_matches_flat():
     """The fused-epoch scan consumes the planar corpus identically."""
     from object_detection_cib_tpu.train.steps import Batch
