@@ -578,7 +578,8 @@ class DeviceDataPipeline:
         # epoch stream (DistributedSampler analog; parallel/distributed.py)
         import jax as _jax
 
-        if shard_for_host and _jax.process_count() > 1:
+        sharded_host = shard_for_host and _jax.process_count() > 1
+        if sharded_host:
             from object_detection_cib_tpu.data.samplers import shard_indices
 
             epoch_idx = shard_indices(
@@ -593,7 +594,18 @@ class DeviceDataPipeline:
         # distribution (with-replacement, weight-proportional) and ~50x
         # cheaper; both the iterator and the fused path share this plan, so
         # their streams stay identical.
-        rng = np.random.default_rng(self.pyrng.randrange(2**31))
+        # per-host decorrelation (non-fused multi-host only): every process
+        # advances the SAME pyrng/key state (epochs stay in sync), but its
+        # derived draw stream is mixed with the process index — otherwise
+        # all hosts would apply the identical co-sample sequence and
+        # augment randoms to their different primaries (correlated
+        # augmentation across the pod). The fused-global path draws one
+        # global plan instead (shard_for_host=False), keeping the stream
+        # bitwise equal to a single-process run.
+        seed = self.pyrng.randrange(2**31)
+        rng = np.random.default_rng(
+            (seed, _jax.process_index()) if sharded_host else seed
+        )
         pool = getattr(self.sampler, "sampler_indices", None)
         pool = np.asarray(
             pool if pool is not None else np.arange(len(self.info.samples)),
@@ -628,6 +640,11 @@ class DeviceDataPipeline:
             secs = np.zeros((n_batches, 0), np.int64)
         ks = jax.random.split(self.key, n_batches + 1)
         self.key = ks[0]
+        if sharded_host:
+            # distinct per-host augment keys (same self.key advance)
+            ks = jax.vmap(
+                lambda k: jax.random.fold_in(k, _jax.process_index())
+            )(ks)
         # every image index fed to the augment program this epoch (mosaic
         # co-samples included; mixup co-mosaics counted regardless of the
         # per-image blend coin, which is decided on device)

@@ -403,3 +403,38 @@ def test_fused_epoch_stack_metrics():
     )
     np.testing.assert_allclose(np.asarray(flat), ref, rtol=1e-6)
     np.testing.assert_allclose(float(st_b), float(st_a), rtol=1e-6)
+
+
+def test_multihost_epoch_plan_decorrelated_but_synced(monkeypatch):
+    """Non-fused multi-host draws: each host's co-samples and augment keys
+    must DIFFER (identically-seeded per-host streams would apply the same
+    random sequence to different primaries across the pod), while the
+    pyrng/key state advance stays identical so epochs remain in sync."""
+    import jax
+
+    def mk():
+        info = build_fake_manifest(num_images=32, num_classes=4, seed=0)
+        return DeviceDataPipeline(
+            info, target_size=S, batch_size=4, aug_params=AugParams(),
+            max_targets=40, seed=3, fake_mode=True,
+        )
+
+    plans = {}
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        pipe = mk()
+        groups, secs, keys = pipe._epoch_plan()
+        plans[pid] = (groups, keys, pipe.pyrng.getstate(), pipe.key)
+        monkeypatch.undo()
+
+    g0, k0, st0, key0 = plans[0]
+    g1, k1, st1, key1 = plans[1]
+    # disjoint primaries (interleaved shard) AND decorrelated co-sample
+    # draws, so groups differ
+    assert not np.array_equal(g0, g1)
+    # augment keys differ per host
+    assert not np.array_equal(np.asarray(k0), np.asarray(k1))
+    # ...but the host-side RNG state advance is identical (epoch sync)
+    assert st0 == st1
+    np.testing.assert_array_equal(np.asarray(key0), np.asarray(key1))
