@@ -243,6 +243,11 @@ class Trainer:
             if sampler_spec:
                 sampler = instantiate(sampler_spec)(self.train_info)
             if dcfg.get("pipeline") != "device":  # host parity path
+                # per-host RNG decorrelation on pods: process 0 keeps the
+                # single-process stream; other ranks get distinct streams
+                # (torch DataLoader worker-seeding analog) so the pod does
+                # not apply identical augment randoms to different shards
+                ds_seed = self.seed + jax.process_index() * 1000003
                 self.train_ds = DetectionDataset(
                     self.train_info,
                     reader,
@@ -252,7 +257,7 @@ class Trainer:
                     mosaic_target_size=img,
                     mixup_prob=float(dcfg.get("mixup_prob", 0.0)),
                     sampler=sampler,
-                    seed=self.seed,
+                    seed=ds_seed,
                 )
         self.sampler = sampler
         self.val_ds = DetectionDataset(
