@@ -21,6 +21,10 @@ import numpy as np
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# honor an explicit JAX_PLATFORMS (the TPU plugin overrides the env var at
+# import; jax.config wins) — lets bench smoke-run on CPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def make_fake_batch(B, img, T, nc, seed=0):
@@ -265,11 +269,20 @@ def _probe_backend(attempts=3, timeout_s=120, sleep_s=20):
     import subprocess
     import sys
 
+    # honor an explicit JAX_PLATFORMS via jax.config — the TPU plugin in
+    # this image overrides the env var at import, so a CPU smoke run would
+    # otherwise still probe (and hang on) the TPU backend
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices())\n"
+    )
     detail = ""
     for i in range(attempts):
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                [sys.executable, "-c", probe_src],
                 capture_output=True, text=True, timeout=timeout_s,
             )
             if r.returncode == 0:
