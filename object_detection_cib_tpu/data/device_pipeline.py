@@ -635,7 +635,7 @@ class DeviceDataPipeline:
         else:
             groups = epoch_idx[:n_prim].reshape(n_batches, B)
         if self.mixup_prob > 0.0:
-            secs = draw(4 * n_prim).reshape(n_batches, 4 * self.B)
+            secs = draw(4 * n_prim).reshape(n_batches, 4 * B)
         else:
             secs = np.zeros((n_batches, 0), np.int64)
         ks = jax.random.split(self.key, n_batches + 1)

@@ -438,3 +438,17 @@ def test_multihost_epoch_plan_decorrelated_but_synced(monkeypatch):
     # ...but the host-side RNG state advance is identical (epoch sync)
     assert st0 == st1
     np.testing.assert_array_equal(np.asarray(key0), np.asarray(key1))
+
+
+def test_epoch_plan_global_batch_mixup_shapes():
+    """Regression: _epoch_plan at a non-default B (the multi-host fused
+    global plan) must shape the mixup co-sample draw with that B too."""
+    info = build_fake_manifest(num_images=32, num_classes=4, seed=0)
+    pipe = DeviceDataPipeline(
+        info, target_size=S, batch_size=4, aug_params=AugParams(),
+        max_targets=40, mixup_prob=0.5, seed=3, fake_mode=True,
+    )
+    groups, secs, keys = pipe._epoch_plan(B=8, shard_for_host=False)
+    assert groups.shape == (4, 32)  # 32 imgs / B=8 -> 4 steps of 4*8 quads
+    assert secs.shape == (4, 32)
+    assert len(keys) == 4
