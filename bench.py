@@ -187,6 +187,46 @@ def bench_nms(img=640, nc=10, batch=8, impl="auto"):
     return min(dt1, dt2) / M * 1000
 
 
+def bench_infer(img=640, batch=32, nc=10, size="s", steps=20):
+    """End-to-end inference (forward + decode + NMS) images/sec/chip.
+
+    The serving path: bf16 forward, on-device decode + NMS, no host sync
+    inside the scan. Slope timing (scanned M dispatches) for the same
+    remote-tunnel reason as bench_nms."""
+    from object_detection_cib_tpu.core.types import FeatureShape, default_anchors
+    from object_detection_cib_tpu.models.yolov5 import build_network
+    from object_detection_cib_tpu.train.steps import make_eval_step
+
+    net = build_network(nc, size, dtype=jnp.bfloat16)
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False
+    )
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    estep = make_eval_step(net, default_anchors())
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    M = steps
+
+    def scanned(params, bstats, imgs):
+        def body(c, i):
+            r = estep(params, bstats, imgs + i * 1e-6)
+            return c + r.boxes.sum().astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(M, dtype=jnp.float32))
+        return out
+
+    f = jax.jit(scanned)
+    _ = float(f(params, bstats, images))
+    t0 = time.perf_counter()
+    _ = float(f(params, bstats, images))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(f(params, bstats, images))
+    dt2 = time.perf_counter() - t0
+    return batch * M / min(dt1, dt2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=640)
@@ -195,6 +235,10 @@ def main():
     ap.add_argument("--size", default="s", choices=["n", "s", "m", "l"])
     ap.add_argument("--skip-nms", action="store_true")
     ap.add_argument("--skip-416", action="store_true")
+    ap.add_argument("--infer", action="store_true",
+                    help="also measure end-to-end inference "
+                         "(forward+decode+NMS) images/sec (extra compile; "
+                         "off by default to protect the driver's budget)")
     ap.add_argument("--skip-sizes", action="store_true",
                     help="skip the m/l MFU characterization runs")
     ap.add_argument("--remat", default=None,
@@ -214,6 +258,9 @@ def main():
         auto_layout=args.auto_layout,
     )
     nms_p50 = None if args.skip_nms else bench_nms(img=args.img)
+    infer_ips = (
+        bench_infer(img=args.img, size=args.size) if args.infer else None
+    )
     ips_416 = None
     if not args.skip_416:
         # the reference's actual training recipe resolution
@@ -249,6 +296,7 @@ def main():
         "extra": {
             "train_ips_416px": None if ips_416 is None else round(ips_416, 2),
             "nms_p50_ms": None if nms_p50 is None else round(nms_p50, 3),
+            "infer_ips": None if infer_ips is None else round(infer_ips, 2),
             "last_loss": round(last_loss, 4),
             "batch": args.batch,
             "img": args.img,
