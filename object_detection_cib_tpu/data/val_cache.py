@@ -1,0 +1,113 @@
+"""HBM-resident validation corpus.
+
+Why: the per-batch validation path ships full normalized f32 images from
+host to device every epoch — 4 B/px over this environment's remote-device
+tunnel (~12 MB/s measured), i.e. >100 MB per 64-image 416px batch. The
+production train pipeline already keeps its decoded corpus in HBM
+(data/device_pipeline.py); this is the eval counterpart: decode + resize
+the validation set ONCE (native C++ loader), keep the uint8 canvases on
+device, and feed eval batches by slicing device memory — per-validation
+host->device traffic drops to a scalar block index.
+
+Letterbox semantics match the host SampleReader exactly (content resized
+with the same geometry — tests/test_device_pipeline.py native-vs-reader —
+then CENTER-padded; ground-truth boxes scaled + shifted like
+data/reader.py letterbox_pad, degenerate boxes dropped like the reader,
+ref kod/data/sample_reader.py:92-95).
+
+Used by Trainer.validate() when the device pipeline's HBM cache mode is
+active (data.pipeline=device, data.device_cache=True); the host per-batch
+path remains the parity fallback.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from object_detection_cib_tpu.data import native_loader
+from object_detection_cib_tpu.data.cache import DatasetInfo
+from object_detection_cib_tpu.utils.fs import get_root_dir
+
+
+class ValDeviceCache:
+    """Decoded, letterbox-CENTERED validation corpus + padded GT arrays.
+
+    canvases: (N, S, S, 3) uint8, content centered, fill 114
+    gt_boxes/gt_labels/gt_mask: (N, T, 4)/(N, T)/(N, T) in canvas coords
+    """
+
+    def __init__(
+        self,
+        info: DatasetInfo,
+        indices: Sequence[int],
+        target_size: int,
+        max_targets: int,
+        fake_mode: bool = False,
+        root_dir: Optional[Path] = None,
+    ):
+        self.S = S = target_size
+        idx = np.asarray(indices, np.int64)
+        self.indices = idx
+        n = len(idx)
+        root = Path(root_dir) if root_dir else get_root_dir()
+        label_to_index = {c: i for i, c in enumerate(info.classes)}
+
+        canvases = np.full((n, S, S, 3), 114, np.uint8)
+        sizes = np.zeros((n, 2), np.int32)
+        if fake_mode:
+            rng = np.random.default_rng(1)
+            for j, i in enumerate(idx):
+                meta = info.samples[int(i)].image_metadata
+                scale = S / max(meta.height, meta.width)
+                h = min(max(int(round(meta.height * scale)), 1), S)
+                w = min(max(int(round(meta.width * scale)), 1), S)
+                canvases[j, :h, :w] = rng.integers(
+                    0, 256, (h, w, 3), dtype=np.uint8
+                )
+                sizes[j] = (h, w)
+        else:
+            bufs = [
+                (root / info.samples[int(i)].image_path).read_bytes()
+                for i in idx
+            ]
+            canvases, sizes, fails = native_loader.pack_batch(bufs, S)
+            if fails:
+                raise ValueError(f"{fails} JPEG decode failures in val set")
+
+        # center the top-left-packed content (host letterbox_pad parity)
+        T = max_targets
+        gt_boxes = np.zeros((n, T, 4), np.float32)
+        gt_labels = np.zeros((n, T), np.int32)
+        gt_mask = np.zeros((n, T), bool)
+        centered = np.full_like(canvases, 114)
+        for j, i in enumerate(idx):
+            s = info.samples[int(i)]
+            h, w = int(sizes[j, 0]), int(sizes[j, 1])
+            top, left = (S - h) // 2, (S - w) // 2
+            centered[j, top : top + h, left : left + w] = canvases[j, :h, :w]
+            meta = s.image_metadata
+            sy, sx = h / meta.height, w / meta.width
+            k = 0
+            for t in s.targets:
+                bb = t.bounding_box
+                if bb.x_max <= bb.x_min or bb.y_max <= bb.y_min or k >= T:
+                    continue
+                gt_boxes[j, k] = [
+                    bb.x_min * sx + left,
+                    bb.y_min * sy + top,
+                    bb.x_max * sx + left,
+                    bb.y_max * sy + top,
+                ]
+                gt_labels[j, k] = label_to_index[t.class_name]
+                gt_mask[j, k] = True
+                k += 1
+        self.canvases = centered
+        self.gt_boxes = gt_boxes
+        self.gt_labels = gt_labels
+        self.gt_mask = gt_mask
+
+    def __len__(self) -> int:
+        return len(self.indices)

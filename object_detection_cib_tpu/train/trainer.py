@@ -637,6 +637,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
+        dcfg = self.cfg["data"]
+        if (
+            dcfg.get("pipeline") == "device"
+            and bool(dcfg.get("device_cache"))
+            and bool(dcfg.get("val_device_cache", True))
+        ):
+            return self._validate_device()
         evaluator = MeanAveragePrecisionEvaluator(
             len(self.classes), class_names=self.classes
         )
@@ -681,6 +688,142 @@ class Trainer:
         metrics = evaluator.results_dict()
         self._print_map_table(metrics)
         return metrics
+
+    def _validate_device(self) -> Dict[str, float]:
+        """Validation over the HBM-resident val corpus (data/val_cache.py).
+
+        The per-batch path ships ~S²·3·4 bytes per image host→device every
+        epoch (f32 through a ~12 MB/s remote tunnel here); this decodes the
+        val set once, keeps the uint8 canvases resident, and feeds eval by
+        slicing device memory — per-validation H2D is one scalar index per
+        block. Same letterbox/normalize/eval math as the host path
+        (tests/test_val_device_cache.py asserts identical mAP against
+        per-batch feeding of the same canvases)."""
+        from object_detection_cib_tpu.data.val_cache import ValDeviceCache
+        from object_detection_cib_tpu.train.steps import make_eval_step
+
+        dcfg = self.cfg["data"]
+        mcfg = self.cfg.get("model", {})
+        S = self.image_shape.width
+        mesh = self._eval_mesh()
+        ndev = mesh.devices.size
+        B = self.batch_size
+        Bp = B + (-B) % ndev
+
+        if getattr(self, "_val_dev", None) is None:
+            idx = np.arange(len(self.val_info.samples))
+            if jax.process_count() > 1:
+                from object_detection_cib_tpu.data.samplers import (
+                    shard_indices,
+                )
+
+                idx = shard_indices(
+                    idx, jax.process_index(), jax.process_count()
+                )
+            cache = ValDeviceCache(
+                self.val_info,
+                idx,
+                S,
+                self.max_targets,
+                fake_mode=bool(dcfg.get("fake_mode")),
+            )
+            n = len(cache)
+            nb = max((n + Bp - 1) // Bp, 1)
+            canv = cache.canvases
+            pad = nb * Bp - n
+            if pad:
+                canv = np.concatenate(
+                    [canv, np.zeros((pad,) + canv.shape[1:], canv.dtype)]
+                )
+            repl = NamedSharding(mesh, P())
+            data_sh = NamedSharding(mesh, P("data"))
+            ds = jax.device_put(canv, repl)
+            estep = make_eval_step(
+                self.net,
+                self.anchors,
+                conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
+                iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
+                max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
+            )
+
+            def block_fn(params, bstats, ds, start):
+                imgs = jax.lax.dynamic_slice(
+                    ds, (start, 0, 0, 0), (Bp, S, S, 3)
+                )
+                imgs = jax.lax.with_sharding_constraint(
+                    imgs.astype(jnp.float32) / 255.0, data_sh
+                )
+                return estep(params, bstats, imgs)
+
+            self._val_dev = (
+                cache,
+                nb,
+                ds,
+                jax.jit(
+                    block_fn, in_shardings=(repl, repl, repl, repl),
+                    out_shardings=data_sh,
+                ),
+                repl,
+            )
+        cache, nb, ds, block_fn, repl = self._val_dev
+
+        # replicated param/bstats copies on the eval mesh (multi-host: the
+        # local mesh, same as _local_eval_step)
+        if jax.process_count() > 1:
+            localize = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: jax.device_put(np.asarray(x), repl), t
+            )
+            params = localize(self.state.params)
+            bstats = localize(self.state.batch_stats)
+        else:
+            params, bstats = self.state.params, self.state.batch_stats
+
+        tcfg = self.cfg["trainer"]
+        n_blocks = nb
+        if tcfg.get("fast_dev_run"):
+            n_blocks = 1
+        elif tcfg.get("limit_val_batches"):
+            n_blocks = max(
+                int(n_blocks * float(tcfg["limit_val_batches"])), 1
+            )
+
+        evaluator = MeanAveragePrecisionEvaluator(
+            len(self.classes), class_names=self.classes
+        )
+        n = len(cache)
+        pending = None
+        for bi in range(n_blocks):
+            res = block_fn(params, bstats, ds, jnp.int32(bi * Bp))
+            if pending is not None:
+                self._val_accumulate(evaluator, cache, *pending, Bp, n)
+            pending = (res, bi)
+        if pending is not None:
+            self._val_accumulate(evaluator, cache, *pending, Bp, n)
+        evaluator.sync_across_processes()
+        metrics = evaluator.results_dict()
+        self._print_map_table(metrics)
+        return metrics
+
+    def _eval_mesh(self):
+        if jax.process_count() > 1:
+            if getattr(self, "_local_mesh", None) is None:
+                self._local_mesh = make_mesh(devices=jax.local_devices())
+            return self._local_mesh
+        return self.mesh
+
+    @staticmethod
+    def _val_accumulate(evaluator, cache, res, bi, Bp, n):
+        rows = min(n - bi * Bp, Bp)
+        if rows <= 0:
+            return
+        sl = slice(bi * Bp, bi * Bp + rows)
+        trimmed = jax.tree.map(lambda x: np.asarray(x)[:rows], res)
+        evaluator.add_batch(
+            trimmed,
+            cache.gt_boxes[sl],
+            cache.gt_labels[sl],
+            cache.gt_mask[sl],
+        )
 
     def _print_map_table(self, metrics: Dict[str, float]):
         """mAP summary table (parity: ref pycoco_map_eval.py:108-138)."""
