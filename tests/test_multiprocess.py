@@ -189,7 +189,7 @@ cfg = compose(
         "logger=csv",
         f"logger.csv.save_dir={out_dir}/p{pid}/csv",
         "trainer.max_epochs=2",
-        "trainer.check_val_every_n_epoch=4",
+        "trainer.check_val_every_n_epoch=2",
         "seed=11",
     ],
 )
@@ -212,11 +212,13 @@ pipe2 = t._train_prefetcher()
 plan_probe = [
     float(np.float64(p).sum()) for p in [pipe2._epoch_plan()[0]]
 ]
-t.fit()
+val = t.fit()  # validates at epoch 2 — exercises rank-sharded HBM val
 checksum, first = snap()
 print(json.dumps({"pid": pid, "checksum": checksum, "first": first,
                   "init_checksum": init_checksum, "init_first": init_first,
-                  "plan0_sum": plan_probe, "steps": int(t.state.step)}))
+                  "plan0_sum": plan_probe, "steps": int(t.state.step),
+                  "val_map": float(val.get("map", -1.0)),
+                  "val_map50": float(val.get("map50", -1.0))}))
 """
 
 
@@ -314,9 +316,13 @@ def test_two_process_fused_epoch_matches_single_process(tmp_path):
     assert p1.returncode == 0, err1[-3000:]
     r0 = json.loads(out0.strip().splitlines()[-1])
     r1 = json.loads(out1.strip().splitlines()[-1])
-    # replication across processes is exact
+    # replication across processes is exact — including the validation
+    # metrics (rank-sharded HBM-resident val + exact stat allgather)
     assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-12)
     assert r0["first"] == pytest.approx(r1["first"], rel=1e-12)
+    assert r0["val_map"] == pytest.approx(r1["val_map"], abs=1e-12)
+    assert r0["val_map50"] == pytest.approx(r1["val_map50"], abs=1e-12)
+    assert r0["val_map"] >= 0.0  # validation actually ran
 
     # single-process fused reference at the same GLOBAL batch (16) over the
     # same 4 devices
@@ -336,6 +342,9 @@ def test_two_process_fused_epoch_matches_single_process(tmp_path):
     # 8 steps (measured: max abs 3.8e-5 on init-scale weights in f32)
     np.testing.assert_allclose(r0["first"], rs["first"], rtol=5e-3, atol=5e-5)
     assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-4)
+    # val metrics: sanity-level agreement across topologies (params differ
+    # by reduction noise, which can flip detection ranks near thresholds)
+    assert r0["val_map"] == pytest.approx(rs["val_map"], abs=0.05)
 
 
 def test_shard_indices_partition_property():
