@@ -227,7 +227,7 @@ def bench_infer(img=640, batch=32, nc=10, size="s", steps=20):
     return batch * M / min(dt1, dt2)
 
 
-def main():
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--batch", type=int, default=128)
@@ -250,8 +250,10 @@ def main():
                     default=True,
                     help="feed batch in XLA's preferred input layout "
                          "(what the production device pipeline does; +1%%)")
-    args = ap.parse_args()
+    return ap.parse_args()
 
+
+def main(args):
     ips, last_loss, flops = bench_train(
         img=args.img, batch=args.batch, steps=args.steps, size=args.size,
         remat=args.remat, want_flops=True, s2d=args.s2d,
@@ -344,6 +346,8 @@ def _probe_backend(attempts=3, timeout_s=120, sleep_s=20):
 
 
 if __name__ == "__main__":
+    # parse FIRST: --help / flag typos must not pay the backend probe
+    _args = parse_args()
     ok, detail = _probe_backend()
     if not ok:
         # one structured line the driver can record instead of a traceback
@@ -356,7 +360,7 @@ if __name__ == "__main__":
         }))
         raise SystemExit(1)
     try:
-        main()
+        main(_args)
     except Exception as e:  # emit structured JSON, not a bare traceback
         import traceback
 

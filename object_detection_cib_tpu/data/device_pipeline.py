@@ -426,11 +426,8 @@ class DeviceDataPipeline:
         tb = np.zeros((n, self.src_T, 4), np.float32)
         tl = np.zeros((n, self.src_T), np.int32)
         tm = np.zeros((n, self.src_T), bool)
-        for i, s in enumerate(self.info.samples):
-            meta = s.image_metadata
-            tb[i], tl[i], tm[i] = self._targets_arrays(
-                i, (sizes[i, 0] / meta.height, sizes[i, 1] / meta.width)
-            )
+        for i in range(n):
+            tb[i], tl[i], tm[i] = self._targets_arrays(i)
         self._t_boxes, self._t_labels, self._t_mask = tb, tl, tm
         # targets live in HBM too (a few MB): per-step host->device traffic
         # shrinks to the index array + key — the per-image target rows are
@@ -481,18 +478,25 @@ class DeviceDataPipeline:
         )
 
     # -------------------------- host stage --------------------------
-    def _targets_arrays(self, idx, scale_hw):
+    def _targets_arrays(self, idx):
+        """Per-image target arrays in resized-content coordinates.
+
+        Boxes use the UNIFORM scale S/max(h, w) — the host reader's exact
+        math (data/reader.py longest_max_size scales bboxes by the single
+        factor, albumentations LongestMaxSize semantics), not the per-axis
+        rounded content ratios (which deviate by up to half a pixel)."""
         s = self.info.samples[idx]
         boxes = np.zeros((self.src_T, 4), np.float32)
         labels = np.zeros((self.src_T,), np.int32)
         mask = np.zeros((self.src_T,), bool)
         k = 0
-        sy, sx = scale_hw
+        meta = s.image_metadata
+        sc = self.S / max(meta.height, meta.width)
         for t in s.targets:
             bb = t.bounding_box
             if bb.x_max <= bb.x_min or bb.y_max <= bb.y_min or k >= self.src_T:
                 continue
-            boxes[k] = [bb.x_min * sx, bb.y_min * sy, bb.x_max * sx, bb.y_max * sy]
+            boxes[k] = [bb.x_min * sc, bb.y_min * sc, bb.x_max * sc, bb.y_max * sc]
             labels[k] = self.label_to_index[t.class_name]
             mask[k] = True
             k += 1
@@ -541,10 +545,7 @@ class DeviceDataPipeline:
         labels = np.zeros((n, self.src_T), np.int32)
         mask = np.zeros((n, self.src_T), bool)
         for i, idx in enumerate(indices):
-            meta = self.info.samples[idx].image_metadata
-            sy = sizes[i, 0] / meta.height
-            sx = sizes[i, 1] / meta.width
-            boxes[i], labels[i], mask[i] = self._targets_arrays(idx, (sy, sx))
+            boxes[i], labels[i], mask[i] = self._targets_arrays(idx)
         # ship uint8: 4x less host->device traffic; cast to f32 on device
         # inside the augment fn
         return DeviceSample(
@@ -645,11 +646,13 @@ class DeviceDataPipeline:
             ks = jax.vmap(
                 lambda k: jax.random.fold_in(k, _jax.process_index())
             )(ks)
-        # every image index fed to the augment program this epoch (mosaic
-        # co-samples included; mixup co-mosaics counted regardless of the
-        # per-image blend coin, which is decided on device)
+        # every image index fed to the augment program this epoch, PER STEP
+        # (rows), so the trainer can trim to the steps actually consumed
+        # under fdr/limit_train_batches (mosaic co-samples included; mixup
+        # co-mosaics counted regardless of the per-image blend coin, which
+        # is decided on device)
         self.consumed_plan_log.append(
-            np.concatenate([groups.ravel(), secs.ravel()])
+            np.concatenate([groups, secs], axis=1) if secs.size else groups
         )
         return groups, secs, list(ks[1:])
 
@@ -672,13 +675,18 @@ class DeviceDataPipeline:
                             )
                         else:
                             batch, ovf = self._gather_augment(*ds, idx, k)
-                    elif self.planar:
-                        # host canvases are NHWC; the planar augment fn only
-                        # consumes gathered corpus planes
+                    elif self.planar or self.device_cache:
+                        # planar: host canvases are NHWC and the planar
+                        # augment fn only consumes gathered corpus planes.
+                        # fused-global (device_cache with _gather_augment
+                        # None): falling through to per-batch host JPEG
+                        # decode would silently ignore the HBM corpus —
+                        # iterate via the fused epoch fn instead.
                         raise RuntimeError(
-                            "planar corpus mode has no host-feed path; "
-                            "iterate via the device cache or set "
-                            "corpus_layout=flat"
+                            "this device-cache mode has no host-feed "
+                            "iterator path; consume the fused epoch fn "
+                            "(build_fused_epoch_fn) or disable "
+                            "device_cache/planar"
                         )
                     elif self.mixup_prob > 0.0:
                         primary = self._load_group(group)

@@ -158,6 +158,7 @@ class Prefetcher:
         prefetch: int = 2,
         drop_last: bool = True,
         device_put_fn: Optional[Callable] = None,
+        shard_for_host: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -167,6 +168,13 @@ class Prefetcher:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.device_put_fn = device_put_fn
+        # multi-host training: every rank draws the identical epoch stream
+        # (identically-seeded sampler) and takes its interleaved shard
+        # (DistributedSampler analog) — WITHOUT this, all ranks feed the
+        # same primaries and the global batch duplicates every image
+        # world_size times. Validation passes pre-sharded FixedSamplers
+        # and must not double-shard.
+        self.shard_for_host = shard_for_host
         self.overflow_total = 0
         # sampler-debug support: primary indices of each epoch actually
         # consumed, FIFO (mosaic co-samples are drawn inside the dataset's
@@ -177,13 +185,33 @@ class Prefetcher:
 
     def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
-            return np.asarray(self.sampler.epoch_indices())
-        return np.arange(len(self.dataset))
+            idx = np.asarray(self.sampler.epoch_indices())
+        else:
+            idx = np.arange(len(self.dataset))
+        if self.shard_for_host:
+            import jax
+
+            if jax.process_count() > 1:
+                from object_detection_cib_tpu.data.samplers import (
+                    shard_indices,
+                )
+
+                idx = shard_indices(
+                    idx, jax.process_index(), jax.process_count()
+                )
+        return idx
 
     def __len__(self) -> int:
         # samplers define the epoch length (repeat-factor/class-aware epochs
         # differ from the dataset size; per-host val shards are subsets)
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.shard_for_host:
+            import jax
+
+            nproc = jax.process_count()
+            if nproc > 1:  # interleaved-shard size for this rank
+                p = jax.process_index()
+                n = n // nproc + (1 if p < n % nproc else 0)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:
@@ -191,8 +219,13 @@ class Prefetcher:
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches += 1
+        # per-step rows so the trainer can trim to batches actually
+        # consumed (drop_last=False's final partial batch is not logged)
+        full = len(indices) // self.batch_size
         self.consumed_plan_log.append(
-            np.asarray(indices[: n_batches * self.batch_size])
+            np.asarray(indices[: full * self.batch_size]).reshape(
+                full, self.batch_size
+            )
         )
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

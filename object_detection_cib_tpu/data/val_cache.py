@@ -89,17 +89,21 @@ class ValDeviceCache:
             top, left = (S - h) // 2, (S - w) // 2
             centered[j, top : top + h, left : left + w] = canvases[j, :h, :w]
             meta = s.image_metadata
-            sy, sx = h / meta.height, w / meta.width
+            # uniform box scale, the host reader's exact math
+            # (data/reader.py longest_max_size: bboxes * scale with
+            # scale = S/max(h, w) — NOT the per-axis rounded content
+            # ratios, which deviate by up to half a pixel)
+            sc = S / max(meta.height, meta.width)
             k = 0
             for t in s.targets:
                 bb = t.bounding_box
                 if bb.x_max <= bb.x_min or bb.y_max <= bb.y_min or k >= T:
                     continue
                 gt_boxes[j, k] = [
-                    bb.x_min * sx + left,
-                    bb.y_min * sy + top,
-                    bb.x_max * sx + left,
-                    bb.y_max * sy + top,
+                    bb.x_min * sc + left,
+                    bb.y_min * sc + top,
+                    bb.x_max * sc + left,
+                    bb.y_max * sc + top,
                 ]
                 gt_labels[j, k] = label_to_index[t.class_name]
                 gt_mask[j, k] = True

@@ -565,6 +565,8 @@ class Trainer:
             ).ShuffleSampler(self.train_info, seed=self.seed),
             num_threads=self.num_workers,
             device_put_fn=lambda b: shard_batch_pytree(b, self.mesh),
+            # every rank draws the identical stream and feeds its shard
+            shard_for_host=True,
         )
 
     def _val_prefetcher(self) -> Prefetcher:
@@ -595,6 +597,29 @@ class Trainer:
             drop_last=False,
         )
 
+    def _make_estep(self):
+        """Un-jitted eval step with the configured NMS thresholds (the one
+        construction shared by the per-batch path, the local multi-host
+        path, and the HBM-resident validation path)."""
+        mcfg = self.cfg.get("model", {})
+        return make_eval_step(
+            self.net,
+            self.anchors,
+            conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
+            iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
+            max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
+        )
+
+    def _localized_state(self, repl):
+        """Replicated param/batch-stat copies on the eval mesh (multi-host:
+        a device-to-device re-place of the already-replicated local copy)."""
+        if jax.process_count() == 1:
+            return self.state.params, self.state.batch_stats
+        localize = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(np.asarray(x), repl), t
+        )
+        return localize(self.state.params), localize(self.state.batch_stats)
+
     def _local_eval_step(self):
         """Eval step over host-local devices only.
 
@@ -608,28 +633,12 @@ class Trainer:
         if jax.process_count() == 1:
             return self.eval_step, self.state.params, self.state.batch_stats
         if getattr(self, "_local_eval", None) is None:
-            local_mesh = make_mesh(devices=jax.local_devices())
-            mcfg = self.cfg.get("model", {})
             self._local_eval = jit_eval_step(
-                make_eval_step(
-                    self.net,
-                    self.anchors,
-                    conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
-                    iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
-                    max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
-                ),
-                local_mesh,
+                self._make_estep(), self._eval_mesh()
             )
-            self._local_mesh = local_mesh
-        repl = NamedSharding(self._local_mesh, P())
-        localize = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: jax.device_put(np.asarray(x), repl), t
-        )
-        return (
-            self._local_eval,
-            localize(self.state.params),
-            localize(self.state.batch_stats),
-        )
+        repl = NamedSharding(self._eval_mesh(), P())
+        params, bstats = self._localized_state(repl)
+        return self._local_eval, params, bstats
 
     def _log(self, metrics: Dict[str, float], step: int):
         for lg in self.loggers:
@@ -700,10 +709,8 @@ class Trainer:
         (tests/test_val_device_cache.py asserts identical mAP against
         per-batch feeding of the same canvases)."""
         from object_detection_cib_tpu.data.val_cache import ValDeviceCache
-        from object_detection_cib_tpu.train.steps import make_eval_step
 
         dcfg = self.cfg["data"]
-        mcfg = self.cfg.get("model", {})
         S = self.image_shape.width
         mesh = self._eval_mesh()
         ndev = mesh.devices.size
@@ -737,46 +744,38 @@ class Trainer:
                 )
             repl = NamedSharding(mesh, P())
             data_sh = NamedSharding(mesh, P("data"))
-            ds = jax.device_put(canv, repl)
-            estep = make_eval_step(
-                self.net,
-                self.anchors,
-                conf_thres=float(mcfg.get("val_nms_conf_threshold", 0.001)),
-                iou_thres=float(mcfg.get("val_nms_iou_threshold", 0.6)),
-                max_nms=int(mcfg.get("val_nms_max_candidates", 2048)),
+            # blocked layout (nb, Bp, S, S, 3) with the batch dim SHARDED:
+            # each device keeps only its rows of every eval block (block
+            # starts never cross shard boundaries), instead of replicating
+            # the whole corpus per device
+            ds = jax.device_put(
+                canv.reshape(nb, Bp, S, S, 3),
+                NamedSharding(mesh, P(None, "data")),
             )
+            estep = self._make_estep()
 
-            def block_fn(params, bstats, ds, start):
-                imgs = jax.lax.dynamic_slice(
-                    ds, (start, 0, 0, 0), (Bp, S, S, 3)
+            def block_fn(params, bstats, ds, i):
+                imgs = jax.lax.dynamic_index_in_dim(
+                    ds, i, axis=0, keepdims=False
                 )
-                imgs = jax.lax.with_sharding_constraint(
-                    imgs.astype(jnp.float32) / 255.0, data_sh
-                )
-                return estep(params, bstats, imgs)
+                return estep(params, bstats, imgs.astype(jnp.float32) / 255.0)
 
             self._val_dev = (
                 cache,
                 nb,
                 ds,
                 jax.jit(
-                    block_fn, in_shardings=(repl, repl, repl, repl),
+                    block_fn,
+                    in_shardings=(
+                        repl, repl, NamedSharding(mesh, P(None, "data")),
+                        repl,
+                    ),
                     out_shardings=data_sh,
                 ),
                 repl,
             )
         cache, nb, ds, block_fn, repl = self._val_dev
-
-        # replicated param/bstats copies on the eval mesh (multi-host: the
-        # local mesh, same as _local_eval_step)
-        if jax.process_count() > 1:
-            localize = lambda t: jax.tree.map(  # noqa: E731
-                lambda x: jax.device_put(np.asarray(x), repl), t
-            )
-            params = localize(self.state.params)
-            bstats = localize(self.state.batch_stats)
-        else:
-            params, bstats = self.state.params, self.state.batch_stats
+        params, bstats = self._localized_state(repl)
 
         tcfg = self.cfg["trainer"]
         n_blocks = nb
@@ -793,7 +792,7 @@ class Trainer:
         n = len(cache)
         pending = None
         for bi in range(n_blocks):
-            res = block_fn(params, bstats, ds, jnp.int32(bi * Bp))
+            res = block_fn(params, bstats, ds, jnp.int32(bi))
             if pending is not None:
                 self._val_accumulate(evaluator, cache, *pending, Bp, n)
             pending = (res, bi)
@@ -880,6 +879,7 @@ class Trainer:
         for epoch in range(start_epoch, max_epochs):
             epoch_t0 = time.time()
             n_images = 0
+            consumed_steps = 0  # batches actually trained this epoch
 
             if use_fused:
                 pipe = plan_src = self._train_prefetcher()
@@ -943,6 +943,7 @@ class Trainer:
                 )
                 ms = jax.tree.unflatten(td, list(flat[:-1]))
                 n_steps = int(flat.shape[1])
+                consumed_steps = n_steps
                 # global images this epoch: the multi-host fused plan runs
                 # at global batch nproc*B per step
                 n_images = n_steps * self.batch_size * (
@@ -1001,6 +1002,7 @@ class Trainer:
                     if prof_cfg and not prof_active and global_step == prof_start:
                         jax.profiler.start_trace(str(self.out_dir / "profile"))
                         prof_active = True
+                    consumed_steps += 1
                     self.state, m = self.train_step(self.state, batch)
                     ad = getattr(m, "assign_drop", None)
                     if ad is not None:
@@ -1106,7 +1108,7 @@ class Trainer:
                 self.ckpt.save_last(self.state)
 
             if self.sampler_debug:
-                self._dump_sampler_stats(epoch, plan_src)
+                self._dump_sampler_stats(epoch, plan_src, consumed_steps)
 
         if prof_active:
             jax.block_until_ready(self.state.params)
@@ -1123,14 +1125,16 @@ class Trainer:
 
         return last_val
 
-    def _dump_sampler_stats(self, epoch: int, plan_src=None):
+    def _dump_sampler_stats(self, epoch: int, plan_src=None, consumed=None):
         """Instances-per-class actually consumed this epoch (parity:
         kod/lightning/callbacks/sampler_debug.py:45-61, which counts labels
         of the batches the trainer saw).
 
         Counts come from the pipeline's `consumed_plan_log` — the epoch plan
-        it drew and trained on (FIFO, so the dispatch-ahead fused loop's
-        early draw of epoch k+1 still dumps epoch k's plan here). The
+        it drew, PER STEP, trimmed to the `consumed` steps actually trained
+        (fdr/limit_train_batches stop early; the reference counts only the
+        batches the trainer saw). FIFO, so the dispatch-ahead fused loop's
+        early draw of epoch k+1 still dumps epoch k's plan here. The
         sampler is never re-drawn: enabling this flag must not advance the
         sampler RNG or change the training stream."""
         log = getattr(plan_src, "consumed_plan_log", None)
@@ -1143,8 +1147,11 @@ class Trainer:
             idx = getattr(self, "_last_sampler_plan", None)
             if idx is None:
                 return
+        idx = np.asarray(idx)
+        if consumed is not None and idx.ndim == 2:
+            idx = idx[:consumed]
         counts = {c: 0 for c in self.classes}
-        for i in np.asarray(idx):
+        for i in idx.ravel():
             for t in self.train_info.samples[int(i)].targets:
                 counts[t.class_name] += 1
         if is_main_process():
