@@ -40,6 +40,7 @@ from object_detection_cib_tpu.ops.augment import (
     flip_batch,
     flip_boxes,
     hsv_batch,
+    hsv_gains,
     mixup_batch,
     mosaic4_batch,
     mosaic_affine_batch,
@@ -47,6 +48,26 @@ from object_detection_cib_tpu.ops.augment import (
 )
 from object_detection_cib_tpu.train.steps import Batch
 from object_detection_cib_tpu.utils.fs import get_root_dir
+
+
+def device_put_row_major(a):
+    """device_put pinned to the row-major (descending major-to-minor) layout.
+
+    On the remote TPU platform a plain `jax.device_put` of the planar u8
+    corpus lands in a batch-minor layout ({0,3,2,1}); every consumer
+    program then relayouts the WHOLE corpus to {3,2,1,0} before the row
+    gather — a measured 14.2 ms / 5.2 GB copy at the 5k@416 corpus
+    (runs/r4/planar_augment.log %copy.177). Pinning the layout at
+    placement time makes the committed layout the compiled parameter
+    layout, so there is nothing to copy."""
+    a = np.asarray(a)
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        fmt = Format(Layout(major_to_minor=tuple(range(a.ndim))))
+        return jax.device_put(a, fmt)
+    except Exception:
+        return jax.device_put(a)
 
 
 def _make_row_gather(corpus_shape, planar: bool = False):
@@ -111,6 +132,7 @@ def build_device_augment_fn(
     use_mosaic: bool = True,
     warp_precision: str = "exact",
     planar: bool = False,
+    hsv_pallas: bool = False,
 ):
     """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
 
@@ -176,12 +198,25 @@ def build_device_augment_fn(
                 precision=warp_precision, planar=planar,
             )
             if hp.should_aug():
-                s = s._replace(
-                    images=hsv_batch(
-                        s.images, k_h, hp.hue, hp.saturation, hp.value,
-                        channel_axis=1 if planar else -1,
+                if planar and hsv_pallas:
+                    # one Pallas kernel for the whole HSV block: kills the
+                    # per-plane orientation-flip copies XLA inserts between
+                    # its HSV fusions (~2.4 ms/step measured, see
+                    # ops/pallas_hsv.py). Same RNG draw, bit-identical.
+                    from object_detection_cib_tpu.ops import pallas_hsv
+
+                    r = hsv_gains(
+                        k_h, s.images.shape[0], hp.hue, hp.saturation,
+                        hp.value,
                     )
-                )
+                    s = s._replace(images=pallas_hsv.hsv_planar(s.images, r))
+                else:
+                    s = s._replace(
+                        images=hsv_batch(
+                            s.images, k_h, hp.hue, hp.saturation, hp.value,
+                            channel_axis=1 if planar else -1,
+                        )
+                    )
             if do is not None:
                 s = s._replace(boxes=flip_boxes(s.boxes, do, target_size))
             return s
@@ -322,9 +357,17 @@ class DeviceDataPipeline:
             and ap.shear == 0.0
             and ap.perspective == 0.0
         )
+        # Pallas HSV kernel: same gating as the Pallas corpus gather —
+        # single-process TPU only (opaque to GSPMD), planar path only
+        self.hsv_pallas = (
+            self.planar
+            and jax.devices()[0].platform == "tpu"
+            and jax.process_count() == 1
+        )
         self.augment_fn = build_device_augment_fn(
             target_size, aug_params, mixup_prob, max_targets, use_mosaic,
             warp_precision=warp_precision, planar=self.planar,
+            hsv_pallas=self.hsv_pallas,
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per
@@ -416,7 +459,7 @@ class DeviceDataPipeline:
                     a.shape, repl, lambda i: a[i]
                 )
         else:
-            dput = jax.device_put
+            dput = device_put_row_major
         self._ds_images = dput(prep(canvases))
         self._ds_sizes = dput(sizes)
         # dense per-image target arrays, precomputed once: per-step group

@@ -603,6 +603,20 @@ def flip_boxes(boxes: jnp.ndarray, do: jnp.ndarray, width: int) -> jnp.ndarray:
 # HSV / flip / mixup
 # ---------------------------------------------------------------------------
 
+def hsv_gains(
+    key: jax.Array, batch: int, hue: float, saturation: float, value: float
+) -> jnp.ndarray:
+    """The (B, 3) HSV jitter gain draw (ref default.py:357): U(-1,1)*amp+1.
+
+    Shared by hsv_batch and the Pallas kernel path (ops/pallas_hsv.py) so
+    both consume the RNG stream identically."""
+    return (
+        jax.random.uniform(key, (batch, 3), minval=-1.0, maxval=1.0)
+        * jnp.asarray([hue, saturation, value])
+        + 1.0
+    )
+
+
 def hsv_batch(
     images: jnp.ndarray,
     key: jax.Array,
@@ -647,11 +661,7 @@ def hsv_batch(
     if r is None:
         if hue == 0.0 and saturation == 0.0 and value == 0.0:
             return images  # host oracle early-returns too (ref :359-364)
-        r = (
-            jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
-            * jnp.asarray([hue, saturation, value])
-            + 1.0
-        )
+        r = hsv_gains(key, B, hue, saturation, value)
     def exact_floordiv(num, den):
         """floor(num/den) for int32 arrays without integer division.
 
@@ -699,7 +709,15 @@ def hsv_batch(
     r0 = r[:, None, None, 0]
     r1 = r[:, None, None, 1]
     r2 = r[:, None, None, 2]
-    h = jnp.floor((h.astype(jnp.float32) * r0) % 180.0).astype(jnp.int32)
+    # (x % 180) with x = h*r0: for x in [0, 540) two conditional subtracts
+    # are exactly fmod (the subtractions are exact in f32 for x >= 90),
+    # without the VPU division chain. h <= 180 and the hue gain
+    # r0 = 1 +- hue stays far below 3 for any sane config (ref default
+    # hue=0.015; cv2 semantics assume small jitter).
+    hx = h.astype(jnp.float32) * r0
+    hx = jnp.where(hx >= 360.0, hx - 360.0, hx)
+    hx = jnp.where(hx >= 180.0, hx - 180.0, hx)
+    h = jnp.floor(hx).astype(jnp.int32)
     s = jnp.floor(
         jnp.clip(s.astype(jnp.float32) * r1, 0.0, 255.0)
     ).astype(jnp.int32)

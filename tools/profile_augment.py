@@ -46,7 +46,11 @@ def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar"):
     corpus = rng.integers(0, 256, (N, S, S, 3), dtype=np.uint8)
     ds_sizes = jax.device_put(np.full((N, 2), S, np.int32))
     prep, gather = _make_row_gather(corpus.shape, planar=planar)
-    ds_imgs = jax.device_put(prep(corpus))
+    from object_detection_cib_tpu.data.device_pipeline import (
+        device_put_row_major,
+    )
+
+    ds_imgs = device_put_row_major(prep(corpus))
     ds_tb = jax.device_put(rng.uniform(0, S, (N, T, 4)).astype(np.float32))
     ds_tl = jax.device_put(np.zeros((N, T), np.int32))
     ds_tm = jax.device_put(np.ones((N, T), bool))

@@ -74,7 +74,10 @@ def main():
         device_cache=True,
     )
     shape = FeatureShape(args.img, args.img)
-    net = build_network(10, args.size, dtype=jnp.bfloat16)
+    # s2d stem: the production default (configs/nn/networks/yv5.yaml)
+    net = build_network(
+        10, args.size, dtype=jnp.bfloat16, stem_space_to_depth=True
+    )
     opt = SmartSGD(OptimizerConfig(max_epochs=300), steps_per_epoch=100)
     state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
     step = make_train_step(net, default_anchors(), shape, opt)
