@@ -64,10 +64,19 @@ def device_put_row_major(a):
     try:
         from jax.experimental.layout import Format, Layout
 
-        fmt = Format(Layout(major_to_minor=tuple(range(a.ndim))))
-        return jax.device_put(a, fmt)
+        # jax 0.9 requires a concrete sharding alongside a Layout
+        fmt = Format(
+            Layout(major_to_minor=tuple(range(a.ndim))),
+            jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        out = jax.device_put(a, fmt)
+        # the remote platform can silently ignore device_put layouts
+        # (see bench.py) — verify it landed, else fall through
+        if out.format.layout.major_to_minor == tuple(range(a.ndim)):
+            return out
     except Exception:
-        return jax.device_put(a)
+        pass
+    return jax.device_put(a)
 
 
 def _make_row_gather(corpus_shape, planar: bool = False):

@@ -40,8 +40,11 @@ def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar"):
     from jax.experimental.layout import Format, Layout
 
     planar = layout == "planar"
+    # same gating as DeviceDataPipeline: Pallas HSV on single-process TPU
+    hsv_pallas = planar and jax.devices()[0].platform == "tpu"
     core = build_device_augment_fn(S, AugParams(), mixup, 120, True,
-                                   warp_precision=precision, planar=planar)
+                                   warp_precision=precision, planar=planar,
+                                   hsv_pallas=hsv_pallas)
     rng = np.random.default_rng(0)
     corpus = rng.integers(0, 256, (N, S, S, 3), dtype=np.uint8)
     ds_sizes = jax.device_put(np.full((N, 2), S, np.int32))
