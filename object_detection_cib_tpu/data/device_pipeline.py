@@ -61,21 +61,28 @@ def device_put_row_major(a):
     placement time makes the committed layout the compiled parameter
     layout, so there is nothing to copy."""
     a = np.asarray(a)
-    try:
-        from jax.experimental.layout import Format, Layout
+    # The explicit Format commits the array to device 0 — only legal on a
+    # single-device (TPU) backend. On a multi-device mesh the fused scan
+    # constrains the batch over the mesh, and a committed single-device
+    # operand is an error; leave the array uncommitted there and let
+    # GSPMD place it (the row-major trick only pays on the single-chip
+    # Pallas-gather path anyway).
+    if jax.device_count() == 1 and jax.devices()[0].platform == "tpu":
+        try:
+            from jax.experimental.layout import Format, Layout
 
-        # jax 0.9 requires a concrete sharding alongside a Layout
-        fmt = Format(
-            Layout(major_to_minor=tuple(range(a.ndim))),
-            jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        )
-        out = jax.device_put(a, fmt)
-        # the remote platform can silently ignore device_put layouts
-        # (see bench.py) — verify it landed, else fall through
-        if out.format.layout.major_to_minor == tuple(range(a.ndim)):
-            return out
-    except Exception:
-        pass
+            # jax 0.9 requires a concrete sharding alongside a Layout
+            fmt = Format(
+                Layout(major_to_minor=tuple(range(a.ndim))),
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            )
+            out = jax.device_put(a, fmt)
+            # the remote platform can silently ignore device_put layouts
+            # (see bench.py) — verify it landed, else fall through
+            if out.format.layout.major_to_minor == tuple(range(a.ndim)):
+                return out
+        except Exception:
+            pass
     return jax.device_put(a)
 
 
@@ -205,6 +212,9 @@ def build_device_augment_fn(
             s = mosaic_affine_batch(
                 sample, k_m, values, target_size, flip_do=do,
                 precision=warp_precision, planar=planar,
+                # integer-valued output -> bf16 boundary is lossless and
+                # halves the warp->HSV->normalize inter-stage HBM traffic
+                out_dtype=jnp.bfloat16,
             )
             if hp.should_aug():
                 if planar and hsv_pallas:
@@ -278,8 +288,11 @@ def build_device_augment_fn(
             images = jnp.transpose(images, (0, 2, 3, 1))
         batch = Batch(
             # bf16 feed: the network computes in bf16 anyway; halves the
-            # host->device transfer and avoids an on-device convert+relayout
-            images=(images / 255.0).astype(jnp.bfloat16),
+            # host->device transfer and avoids an on-device convert+relayout.
+            # The divide runs in f32 regardless of the incoming stage dtype
+            # (f32, or the fused path's integer-valued bf16) so the result
+            # is bitwise identical across boundary dtypes.
+            images=(images.astype(jnp.float32) / 255.0).astype(jnp.bfloat16),
             boxes=boxes,
             labels=jnp.where(mask, labels, 0),
             mask=mask,
@@ -691,13 +704,21 @@ class DeviceDataPipeline:
             secs = draw(4 * n_prim).reshape(n_batches, 4 * B)
         else:
             secs = np.zeros((n_batches, 0), np.int64)
-        ks = jax.random.split(self.key, n_batches + 1)
+        # one split for the whole epoch, fetched to host ONCE: the keys are
+        # sliced per step below, and a device-resident ks would turn every
+        # slice into a tunnel dispatch (~40 RTTs/epoch measured ~1.2 s on
+        # the remote device — the fused loop's old host bottleneck). The
+        # threefry split is deterministic, so the stream is bitwise
+        # unchanged; jax.random.* accepts the raw uint32 key rows.
+        ks = np.asarray(jax.random.split(self.key, n_batches + 1))
         self.key = ks[0]
         if sharded_host:
             # distinct per-host augment keys (same self.key advance)
-            ks = jax.vmap(
-                lambda k: jax.random.fold_in(k, _jax.process_index())
-            )(ks)
+            ks = np.asarray(
+                jax.vmap(
+                    lambda k: jax.random.fold_in(k, _jax.process_index())
+                )(jnp.asarray(ks))
+            )
         # every image index fed to the augment program this epoch, PER STEP
         # (rows), so the trainer can trim to the steps actually consumed
         # under fdr/limit_train_batches (mosaic co-samples included; mixup
@@ -706,7 +727,7 @@ class DeviceDataPipeline:
         self.consumed_plan_log.append(
             np.concatenate([groups, secs], axis=1) if secs.size else groups
         )
-        return groups, secs, list(ks[1:])
+        return groups, secs, ks[1:]
 
     def __iter__(self) -> Iterator[Batch]:
         groups, secs, keys = self._epoch_plan()
@@ -803,12 +824,12 @@ class DeviceDataPipeline:
             xs = (mk(np.asarray(groups, np.int32), P(None, "data")),)
             if self.mixup_prob > 0.0:
                 xs = xs + (mk(np.asarray(secs, np.int32), P(None, "data")),)
-            return xs + (mk(np.asarray(jnp.stack(keys)), P()),)
+            return xs + (mk(np.asarray(keys), P()),)
         groups, secs, keys = self._epoch_plan()
         xs = (jnp.asarray(np.asarray(groups, np.int32)),)
         if self.mixup_prob > 0.0:
             xs = xs + (jnp.asarray(np.asarray(secs, np.int32)),)
-        return xs + (jnp.stack(keys),)
+        return xs + (jnp.asarray(keys),)
 
     def build_fused_epoch_fn(self, train_step, batch_sharding=None,
                              pipelined: bool = False,

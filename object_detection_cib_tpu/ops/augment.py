@@ -457,6 +457,7 @@ def mosaic_affine_batch(
     flip_do: Optional[jnp.ndarray] = None,
     precision: str = "exact",
     planar: bool = False,
+    out_dtype=None,
 ) -> DeviceSample:
     """Fused 4-image mosaic + axis-aligned affine warp, canvas-free.
 
@@ -578,6 +579,15 @@ def mosaic_affine_batch(
         t = jnp.einsum("gqhwc,gqxw->gqhxc", img, Ax, precision=prec)
         out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec)
     out_imgs = jnp.rint(out + FILL)
+    if out_dtype is not None:
+        # the rint makes every pixel an integer in ~[0, 256] — exactly
+        # representable in bfloat16, so a bf16 stage boundary here is
+        # LOSSLESS and halves the warp-out/HSV-in/HSV-out/normalize-in
+        # HBM traffic (~0.5 GB/step @416 b=128, ROOFLINE.md). Downstream
+        # HSV re-quantizes from any float dtype; the final /255 normalize
+        # computes in f32 either way (to_batch), so results are
+        # bit-identical to the f32 boundary.
+        out_imgs = out_imgs.astype(out_dtype)
 
     proc, new_mask = _affine_boxes(mb, mm, values, M, target_size)
     out_sizes = jnp.full((G, 2), target_size, jnp.int32)

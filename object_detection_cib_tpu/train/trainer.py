@@ -375,6 +375,12 @@ class Trainer:
         # dispatch-ahead pipelining: the next epoch's fused scan, already
         # enqueued on device while the host processes this epoch's metrics
         self._fused_inflight = None
+        # device-side state copy (~0.1 ms HBM r/w) handed to the background
+        # checkpoint writer: the training loop is free to donate self.state
+        # to the next step/epoch while the writer fetches the snapshot
+        self._snap_jit = None
+        # fetch-to-fetch wall-clock mark for fused-epoch ips accounting
+        self._fused_prev_fetch = None
         self.eval_step = jit_eval_step(
             make_eval_step(
                 self.net,
@@ -514,6 +520,20 @@ class Trainer:
                 or tcfg.get("profiler")
             )
         )
+
+    def _state_snapshot(self, state):
+        """Device-side copy of the train state (fresh buffers, sharding
+        preserved). Checkpoint saves read the snapshot from a background
+        thread, so the training loop may immediately donate `state` to the
+        next step/epoch — and the accelerator never idles behind the
+        checkpoint's device->host fetch (on this environment's remote
+        tunnel that fetch is ~5 s for yolov5s state; on a real host it is
+        PCIe-fast, but the ordering guarantee is the same)."""
+        if self._snap_jit is None:
+            self._snap_jit = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s)
+            )
+        return self._snap_jit(state)
 
     def _train_prefetcher(self):
         dcfg = self.cfg["data"]
@@ -857,6 +877,7 @@ class Trainer:
         # a fit() interrupted mid-epoch must not leave a pre-dispatched
         # epoch for a later fit() to consume as its first epoch
         self._fused_inflight = None
+        self._fused_prev_fetch = None
         es_best, es_bad_epochs = None, 0
 
         # jax.profiler tracing (ref debug=profiler preset, SURVEY.md §5.1):
@@ -880,6 +901,9 @@ class Trainer:
             epoch_t0 = time.time()
             n_images = 0
             consumed_steps = 0  # batches actually trained this epoch
+            # snapshot of state(epoch) for the end-of-epoch save when
+            # dispatch-ahead has already advanced self.state to epoch+1
+            boundary_snap = None
 
             if use_fused:
                 pipe = plan_src = self._train_prefetcher()
@@ -912,19 +936,24 @@ class Trainer:
                 # straight into epoch k+1 while the host fetches/logs
                 # epoch k. The epoch fn donates state, so this is only
                 # legal when nothing at this epoch's boundary reads
-                # self.state (validation, checkpoint save, end of fit).
+                # self.state: validation (+ early stopping / best-ckpt
+                # decisions) and end of fit. A plain end-of-epoch
+                # save_last does NOT block dispatch-ahead — it saves from
+                # a device-side snapshot taken before the donation, and
+                # the background writer fetches that snapshot while the
+                # device runs epoch k+1.
                 nxt_consumes_state = (
                     (epoch + 1) % val_every == 0
-                    or (
-                        self.ckpt
-                        and (epoch + 1) % self.ckpt_every_n_epochs == 0
-                    )
                     or epoch + 1 >= max_epochs
                 )
                 if (
                     bool(dcfg_f.get("fused_dispatch_ahead", True))
                     and not nxt_consumes_state
                 ):
+                    if self.ckpt and (
+                        (epoch + 1) % self.ckpt_every_n_epochs == 0
+                    ):
+                        boundary_snap = self._state_snapshot(self.state)
                     xs2 = pipe.epoch_host_arrays()
                     self.state, self._fused_inflight = self._fused_epoch_fn(
                         self.state, pipe.device_arrays, xs2
@@ -936,6 +965,17 @@ class Trainer:
                 # built inside the epoch program, so this is a pure D2H
                 # copy that does not queue behind the in-flight next epoch.
                 flat = np.asarray(flat_dev)
+                # wall-clock epoch time = fetch-to-fetch: under dispatch-
+                # ahead the device computes epoch k while the host is still
+                # in iteration k-1, so the dispatch->fetch window no longer
+                # measures anything (it can read ~0 s). The time between
+                # successive metric fetches IS one epoch of wall time in
+                # steady state (host boundary work included, validation of
+                # the previous epoch excluded from its own window only).
+                t_fetch = time.time()
+                if self._fused_prev_fetch is not None:
+                    epoch_t0 = self._fused_prev_fetch
+                self._fused_prev_fetch = t_fetch
                 from object_detection_cib_tpu.train.steps import StepMetrics
 
                 td = jax.tree.structure(
@@ -1071,7 +1111,9 @@ class Trainer:
                     f"map50={last_val.get('map50', 0):.4f} ips={ips:.1f}",
                 )
                 if self.ckpt:
-                    self.ckpt.maybe_save_best(self.state, last_val)
+                    self.ckpt.maybe_save_best(
+                        self._state_snapshot(self.state), last_val
+                    )
                 if self.es_patience:
                     cur = last_val.get(self.es_monitor)
                     if cur is not None:
@@ -1098,14 +1140,20 @@ class Trainer:
                         if stop_reason is not None:
                             print(f"early stopping: {stop_reason}", flush=True)
                             if self.ckpt:
-                                self.ckpt.save_last(self.state)
+                                self.ckpt.save_last(
+                                    self._state_snapshot(self.state)
+                                )
                                 # saves are async; drain so callers reading
                                 # the checkpoint right after fit() see a
                                 # complete 'last' on disk
                                 self.ckpt.wait_until_finished()
                             return last_val
             if self.ckpt and (epoch + 1) % self.ckpt_every_n_epochs == 0:
-                self.ckpt.save_last(self.state)
+                self.ckpt.save_last(
+                    boundary_snap
+                    if boundary_snap is not None
+                    else self._state_snapshot(self.state)
+                )
 
             if self.sampler_debug:
                 self._dump_sampler_stats(epoch, plan_src, consumed_steps)

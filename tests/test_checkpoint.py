@@ -55,3 +55,38 @@ def test_best_tracking(tmp_path, state):
 def test_missing_monitor_ignored(tmp_path, state):
     cm = CheckpointManager(tmp_path / "ck")
     assert not cm.maybe_save_best(state, {"loss": 1.0})
+
+
+def test_background_save_reads_snapshot_not_live_state(tmp_path, state):
+    """save_last must persist the values AT SAVE TIME even if the caller's
+    live buffers are overwritten right after (the trainer donates
+    self.state to the next epoch while the writer fetches a device-side
+    snapshot — see Trainer._state_snapshot)."""
+    snap_jit = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    snap = snap_jit(state)
+    # snapshot is a different set of buffers with identical contents
+    for a, b in zip(jax.tree.leaves(snap), jax.tree.leaves(state)):
+        assert a is not b
+    assert _trees_equal(snap, state)
+
+    cm = CheckpointManager(tmp_path / "ck")
+    cm.save_last(snap)
+    # simulate the donation: clobber the snapshot's SOURCE immediately;
+    # the background writer must still see the snapshot's values
+    mutated = jax.tree.map(lambda x: x * 0 - 1, state)
+    jax.block_until_ready(mutated)
+    cm.wait_until_finished()
+    restored = cm.restore(jax.tree.map(jnp.zeros_like, state), "last")
+    assert _trees_equal(restored, state)
+
+
+def test_background_save_queues_in_order(tmp_path, state):
+    """Two quick saves: the second drains the first; final on-disk 'last'
+    is the second state."""
+    cm = CheckpointManager(tmp_path / "ck")
+    s2 = jax.tree.map(lambda x: x + 1, state)
+    cm.save_last(state)
+    cm.save_last(s2)
+    cm.wait_until_finished()
+    restored = cm.restore(jax.tree.map(jnp.zeros_like, state), "last")
+    assert _trees_equal(restored, s2)
