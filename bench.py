@@ -227,6 +227,51 @@ def bench_infer(img=640, batch=32, nc=10, size="s", steps=20):
     return batch * M / min(dt1, dt2)
 
 
+def bench_sustained(epochs=6, corpus=2560, batch=128, img=416):
+    """Wall-clock sustained PRODUCTION-LOOP throughput @416 (img/s/chip).
+
+    Drives the real Trainer: HBM-resident corpus, fused-epoch scan with
+    dispatch-ahead, per-epoch background checkpoints, CSV/TB logging — the
+    whole loop, not a bare train step. Returns (steady_ips, per_epoch list)
+    where steady = median of epochs >= 2 (epoch 0 pays compile + corpus
+    build; epoch 1 may still be warming the dispatch-ahead pipeline). The
+    per-epoch numbers are fetch-to-fetch WALL time (trainer accounting),
+    so checkpoint/logging overheads are included, not hidden.
+    """
+    import statistics
+    import tempfile
+
+    from object_detection_cib_tpu.config.engine import compose
+    from object_detection_cib_tpu.train.trainer import Trainer
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    out = tempfile.mkdtemp(prefix="bench_sustained_")
+    cfg = compose(
+        cfg_dir,
+        overrides=[
+            "experiment=yv5s",
+            "dataset_name=fake",
+            "data.fake_mode=True",
+            f"+data.fake_num_images={corpus}",
+            f"data.batch_size={batch}",
+            f"data.target_image_size={img}",
+            "data.pipeline=device",
+            "data.device_cache=True",
+            "data.enable_ram_cache=True",
+            f"trainer.max_epochs={epochs}",
+            "trainer.check_val_every_n_epoch=1000",
+            "print_config=False",
+            "seed=2023",
+            f"paths.output_dir={out}",
+            f"callbacks.model_checkpoint.dirpath={out}/ck",
+        ],
+    )
+    t = Trainer(cfg)
+    t.fit()
+    tail = t.epoch_ips[2:] or t.epoch_ips
+    return statistics.median(tail), [round(x, 1) for x in t.epoch_ips]
+
+
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=640)
@@ -241,6 +286,17 @@ def parse_args():
                          "off by default to protect the driver's budget)")
     ap.add_argument("--skip-sizes", action="store_true",
                     help="skip the m/l MFU characterization runs")
+    ap.add_argument("--skip-sustained", action="store_true",
+                    help="skip the sustained production-loop run @416 "
+                         "(full Trainer: fused epochs, dispatch-ahead, "
+                         "background checkpoints)")
+    ap.add_argument("--sustained-epochs", type=int, default=6)
+    ap.add_argument("--sustained-corpus", type=int, default=2560)
+    ap.add_argument("--sustained-batch", type=int, default=128)
+    ap.add_argument("--sustained-img", type=int, default=416,
+                    help="scale the sustained probe down for CPU smoke "
+                         "runs, e.g. --sustained-corpus 32 "
+                         "--sustained-batch 8 --sustained-img 64")
     ap.add_argument("--remat", default=None,
                     choices=["conv_out", "conv_out_bn_stats", "nothing"])
     ap.add_argument("--s2d", action=argparse.BooleanOptionalAction,
@@ -275,9 +331,27 @@ def main(args):
     # m/l characterization: the s-variant @640 is HBM-bandwidth-bound by its
     # own arithmetic intensity (ROOFLINE.md); the wider variants show the
     # framework loads the MXU when the model has the channels for it.
+    sustained = None
+    if not args.skip_sustained and args.size == "s":
+        try:
+            steady, per_epoch = bench_sustained(
+                epochs=args.sustained_epochs,
+                corpus=args.sustained_corpus,
+                batch=args.sustained_batch,
+                img=args.sustained_img,
+            )
+            sustained = {
+                f"sustained_ips_{args.sustained_img}": round(steady, 1),
+                "sustained_epoch_ips": per_epoch,
+            }
+        except Exception as e:  # report, don't fail the bench
+            sustained = {"sustained_error": str(e)[:160]}
+
     sizes = {}
     if not args.skip_sizes and args.size == "s":
-        for sz, sb in (("m", 96), ("l", 64)):
+        # l at b=128: a realistic large-variant batch loads the MXU best
+        # (measured 44.5% MFU vs 38.4% at b=64, runs/r4/mfu_l128.log)
+        for sz, sb in (("m", 96), ("l", 128)):
             try:
                 s_ips, _, s_fl = bench_train(
                     img=args.img, batch=sb, steps=12, size=sz,
@@ -304,6 +378,7 @@ def main(args):
             "img": args.img,
             "n_chips": jax.device_count(),
             **(flops or {}),
+            **(sustained or {}),
             **sizes,
         },
     }

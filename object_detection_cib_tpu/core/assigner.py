@@ -202,33 +202,28 @@ def compact_level_assignment(
     """
     K = int(level.valid.shape[0])
     cap = min(int(cap), K)
+    # sort only (key, iota) and gather the surviving rows: the 13-operand
+    # stable sort moved every payload column through the sort network
+    # (profiled 0.66 ms/level at K=138k @416 b=128 — 2 ms/step over the 3
+    # levels); sorting the permutation instead is ~6x fewer sort bytes and
+    # the payload becomes `cap` tiny row-gathers. Identical result: the
+    # stable single-key sort orders ties by position, which is exactly the
+    # iota payload's order.
     keys = jnp.where(level.valid, 0, 1).astype(jnp.int32)
-    cols = (
-        keys,
-        level.sample_idx,
-        level.anchor_idx,
-        level.grid_y,
-        level.grid_x,
-        level.labels,
-        level.valid,
-        level.txywh[:, 0],
-        level.txywh[:, 1],
-        level.txywh[:, 2],
-        level.txywh[:, 3],
-        level.anchors_wh[:, 0],
-        level.anchors_wh[:, 1],
+    iota = jnp.arange(K, dtype=jnp.int32)
+    _, perm = jax.lax.sort(
+        (keys, iota), dimension=0, is_stable=True, num_keys=1
     )
-    out = jax.lax.sort(cols, dimension=0, is_stable=True, num_keys=1)
-    (_, s, a, gy, gx, lab, v, tx, ty, tw, th, aw, ah) = [c[:cap] for c in out]
+    idx = perm[:cap]
     return LevelAssignment(
-        sample_idx=s,
-        anchor_idx=a,
-        grid_y=gy,
-        grid_x=gx,
-        txywh=jnp.stack([tx, ty, tw, th], axis=-1),
-        labels=lab,
-        anchors_wh=jnp.stack([aw, ah], axis=-1),
-        valid=v,
+        sample_idx=level.sample_idx[idx],
+        anchor_idx=level.anchor_idx[idx],
+        grid_y=level.grid_y[idx],
+        grid_x=level.grid_x[idx],
+        txywh=level.txywh[idx],
+        labels=level.labels[idx],
+        anchors_wh=level.anchors_wh[idx],
+        valid=level.valid[idx],
     )
 
 

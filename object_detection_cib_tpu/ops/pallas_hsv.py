@@ -31,7 +31,10 @@ def _kernel(img_ref, r_ref, out_ref):
     # — Mosaic requires SMEM blocks to match the array dims), indexed by the
     # grid's image axis
     i = pl.program_id(0)
-    x = img_ref[0]  # (3, bh, W)
+    # cast to f32 in VMEM first: Mosaic cannot legalize math.roundeven on
+    # bf16 vectors (the bf16 stage boundary keeps the HBM I/O half-width;
+    # the in-register convert is free)
+    x = img_ref[0].astype(jnp.float32)  # (3, bh, W)
     img = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
     # cv2 BGR2HSV on an RGB array: channel order (b,g,r) = (ch0,ch1,ch2)
     bch, gch, rch = img[0], img[1], img[2]

@@ -381,6 +381,8 @@ class Trainer:
         self._snap_jit = None
         # fetch-to-fetch wall-clock mark for fused-epoch ips accounting
         self._fused_prev_fetch = None
+        # per-epoch wall-clock train ips, appended each epoch by fit()
+        self.epoch_ips: list = []
         self.eval_step = jit_eval_step(
             make_eval_step(
                 self.net,
@@ -1102,6 +1104,9 @@ class Trainer:
                 f"[epoch {epoch}] train ips={ips:.1f} ({n_images} imgs in "
                 f"{dt:.2f}s)"
             )
+            # wall-clock per-epoch history (bench.py's sustained probe and
+            # tooling read this; epoch 0 includes compile + cache build)
+            self.epoch_ips.append(float(ips))
             if (epoch + 1) % val_every == 0 or fdr:
                 last_val = self.validate()
                 last_val["images_per_sec"] = ips
