@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -207,6 +208,14 @@ def _select_platform(trainer_cfg: dict):
         jax.config.update("jax_platforms", platform)
     if trainer_cfg.get("debug_nans"):
         jax.config.update("jax_debug_nans", True)
+    # persistent compile cache by default: repeat runs of the same recipe
+    # (sweeps, resume, eval) skip the 30 s-to-minutes XLA compile. An env
+    # var wins; trainer.compile_cache=null disables.
+    cache = trainer_cfg.get("compile_cache", "~/.jax_cache")
+    if cache and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(str(cache))
+        )
 
 
 class Trainer:

@@ -27,6 +27,9 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.environ.get("JAX_TEST_COMPILATION_CACHE", "/root/.jax_test_cache")
 if _cache and _cache != "0":
     jax.config.update("jax_compilation_cache_dir", _cache)
+    # keep Trainer._select_platform's compile-cache default from clobbering
+    # the test cache dir (it defers to this env var)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     # default policy refuses to cache on single-process CPU; override
     jax.config.update(
