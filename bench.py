@@ -233,12 +233,15 @@ def bench_sustained(epochs=6, corpus=2560, batch=128, img=416):
     Drives the real Trainer: HBM-resident corpus, fused-epoch scan with
     dispatch-ahead, per-epoch background checkpoints, CSV/TB logging — the
     whole loop, not a bare train step. Returns (steady_ips, per_epoch list)
-    where steady = median of epochs >= 2 (epoch 0 pays compile + corpus
-    build; epoch 1 may still be warming the dispatch-ahead pipeline). The
-    per-epoch numbers are fetch-to-fetch WALL time (trainer accounting),
-    so checkpoint/logging overheads are included, not hidden.
+    where steady = sum(images)/sum(wall) over epochs >= 2 (epoch 0 pays
+    compile + corpus build; epoch 1's window still includes warming the
+    dispatch-ahead pipeline). The aggregate is used rather than a
+    per-epoch median because under dispatch-ahead the individual
+    fetch-to-fetch windows jitter (the host can fetch an epoch's metric
+    stack early or late relative to the device timeline) — the jitter
+    cancels over the sum. Checkpoint/logging overheads are included, not
+    hidden.
     """
-    import statistics
     import tempfile
 
     from object_detection_cib_tpu.config.engine import compose
@@ -268,8 +271,11 @@ def bench_sustained(epochs=6, corpus=2560, batch=128, img=416):
     )
     t = Trainer(cfg)
     t.fit()
-    tail = t.epoch_ips[2:] or t.epoch_ips
-    return statistics.median(tail), [round(x, 1) for x in t.epoch_ips]
+    imgs, walls = t.epoch_imgs[2:], t.epoch_walls[2:]
+    if not imgs:
+        imgs, walls = t.epoch_imgs, t.epoch_walls
+    steady = sum(imgs) / max(sum(walls), 1e-9)
+    return steady, [round(x, 1) for x in t.epoch_ips]
 
 
 def parse_args():

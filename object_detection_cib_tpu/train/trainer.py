@@ -392,6 +392,8 @@ class Trainer:
         self._fused_prev_fetch = None
         # per-epoch wall-clock train ips, appended each epoch by fit()
         self.epoch_ips: list = []
+        self.epoch_walls: list = []
+        self.epoch_imgs: list = []
         self.eval_step = jit_eval_step(
             make_eval_step(
                 self.net,
@@ -1114,8 +1116,15 @@ class Trainer:
                 f"{dt:.2f}s)"
             )
             # wall-clock per-epoch history (bench.py's sustained probe and
-            # tooling read this; epoch 0 includes compile + cache build)
+            # tooling read this; epoch 0 includes compile + cache build).
+            # Walls/imgs are kept too: under dispatch-ahead the per-epoch
+            # fetch-to-fetch window jitters (the host can fetch epoch k's
+            # metrics early or late relative to the device timeline), but
+            # the jitter cancels over the SUM of windows — aggregate
+            # sum(imgs)/sum(wall) is the robust steady-state metric.
             self.epoch_ips.append(float(ips))
+            self.epoch_walls.append(float(dt))
+            self.epoch_imgs.append(int(n_images))
             if (epoch + 1) % val_every == 0 or fdr:
                 last_val = self.validate()
                 last_val["images_per_sec"] = ips
