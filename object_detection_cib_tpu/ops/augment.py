@@ -572,12 +572,31 @@ def mosaic_affine_batch(
         "fast": jax.lax.Precision.DEFAULT,
     }[precision]
     img = imgs.astype(jnp.float32) - FILL
+    if precision == "fast":
+        # bf16 OPERAND STORAGE for the same bf16 MXU passes: a DEFAULT-
+        # precision TPU dot already rounds its f32 operands to bf16 at the
+        # multiplier, so storing img/taps/t in bf16 feeds the MXU identical
+        # numbers while halving the warp's inter-stage HBM traffic
+        # (~0.5 GB/step @416 b=128 of f32 operand/intermediate bytes,
+        # ROOFLINE.md). img - FILL is integer-valued in [-369, 396] after
+        # mixup-free u8 content (exact in bf16 up to 512); t is rounded to
+        # bf16 here exactly where the y-pass multiplier would round it
+        # anyway. The y-pass accumulates into f32 (preferred_element_type)
+        # so the final rint sees the full-precision sum — on TPU this is
+        # numerically the same fast path, minus the traffic. (On CPU,
+        # where DEFAULT runs full f32, bf16 storage is the accuracy-class
+        # change the "fast" contract already documents.)
+        img = img.astype(jnp.bfloat16)
+        Ax = Ax.astype(jnp.bfloat16)
+        Ay = Ay.astype(jnp.bfloat16)
     if planar:  # (G, 4, 3, S, S): w-pass then h-pass, same tap order
         t = jnp.einsum("gqchw,gqxw->gqchx", img, Ax, precision=prec)
-        out = jnp.einsum("gqyh,gqchx->gcyx", Ay, t, precision=prec)
+        out = jnp.einsum("gqyh,gqchx->gcyx", Ay, t, precision=prec,
+                         preferred_element_type=jnp.float32)
     else:  # (G, 4, S, S, 3)
         t = jnp.einsum("gqhwc,gqxw->gqhxc", img, Ax, precision=prec)
-        out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec)
+        out = jnp.einsum("gqyh,gqhxc->gyxc", Ay, t, precision=prec,
+                         preferred_element_type=jnp.float32)
     out_imgs = jnp.rint(out + FILL)
     if out_dtype is not None:
         # the rint makes every pixel an integer in ~[0, 256] — exactly

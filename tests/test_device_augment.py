@@ -353,3 +353,44 @@ def test_fused_mosaic_affine_matches_composition():
         np.asarray(flip_boxes(ref.boxes, do, S)),
         np.asarray(flip_boxes(fused.boxes, do, S)),
     )
+
+
+def test_fused_mosaic_affine_fast_precision_contract():
+    """precision="fast" (the production default, bf16 operand storage +
+    bf16 MXU passes) stays in the documented accuracy class: boxes/masks
+    bit-identical to exact (geometry is computed in f32 either way), pixels
+    within a few units (bf16 tap rounding — the same class as cv2<5's 5-bit
+    fixed-point uint8 interpolation, which the reference's own augmentation
+    used, kod/data/augmentations/default.py:306-320)."""
+    from object_detection_cib_tpu.ops.augment import mosaic_affine_batch
+
+    B = 8
+    dev = _to_device_sample(_host_samples(B, seed=5), T=6)
+    k_m = jax.random.PRNGKey(21)
+    v = sample_affine_values_batch(
+        jax.random.PRNGKey(22), B // 4, degrees=0.0, translate=0.1,
+        scale=0.5, shear=0.0, perspective=0.0,
+    )
+    exact = mosaic_affine_batch(dev, k_m, v, S, precision="exact")
+    fast = mosaic_affine_batch(dev, k_m, v, S, precision="fast")
+    d = np.abs(
+        np.asarray(exact.images, np.float32) - np.asarray(fast.images, np.float32)
+    )
+    assert d.max() <= 4.0, d.max()
+    assert (d <= 1).mean() > 0.99, (d <= 1).mean()
+    np.testing.assert_array_equal(np.asarray(exact.boxes), np.asarray(fast.boxes))
+    np.testing.assert_array_equal(np.asarray(exact.mask), np.asarray(fast.mask))
+
+    # planar fast == NHWC fast, bitwise (same tap matrices, same contraction
+    # order, same bf16 roundings — the planar tests' exact-equality story
+    # holds in the production precision too)
+    devp = dev._replace(
+        images=jnp.transpose(dev.images, (0, 3, 1, 2))
+    )
+    fastp = mosaic_affine_batch(
+        devp, k_m, v, S, precision="fast", planar=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.images),
+        np.transpose(np.asarray(fastp.images), (0, 2, 3, 1)),
+    )
