@@ -102,6 +102,13 @@ def bench_train(img=640, batch=32, nc=10, steps=30, warmup_steps=5, size="s",
             # mismatched batch to the compiled executable raises at call
             # time. Verify the layout landed before committing to it.
             got = getattr(imgs, "format", None)
+            if got is None or got.layout != fmt.layout:
+                # fall back to a device-side relayout: a jitted identity
+                # with out_shardings=fmt applies the layout inside the
+                # executable, which honors layouts device_put drops (the
+                # m-variant's shapes hit this on the remote platform)
+                imgs = jax.jit(lambda x: x, out_shardings=fmt)(b.images)
+                got = getattr(imgs, "format", None)
             if got is not None and got.layout == fmt.layout:
                 b = b._replace(images=imgs)
                 step = compiled

@@ -46,6 +46,7 @@ from object_detection_cib_tpu.ops.augment import (
     mosaic_affine_batch,
     sample_affine_values_batch,
 )
+from object_detection_cib_tpu.ops import pallas_warp
 from object_detection_cib_tpu.train.steps import Batch
 from object_detection_cib_tpu.utils.fs import get_root_dir
 
@@ -149,6 +150,7 @@ def build_device_augment_fn(
     warp_precision: str = "exact",
     planar: bool = False,
     hsv_pallas: bool = False,
+    warp_pallas: bool = False,
 ):
     """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
 
@@ -215,6 +217,7 @@ def build_device_augment_fn(
                 # integer-valued output -> bf16 boundary is lossless and
                 # halves the warp->HSV->normalize inter-stage HBM traffic
                 out_dtype=jnp.bfloat16,
+                warp_pallas=warp_pallas,
             )
             if hp.should_aug():
                 if planar and hsv_pallas:
@@ -340,6 +343,7 @@ class DeviceDataPipeline:
         mixup_prob: float = 0.0,
         use_mosaic: bool = True,
         warp_precision: str = "fast",
+        warp_pallas="auto",
         sampler=None,
         seed: int = 0,
         root_dir: Optional[Path] = None,
@@ -386,10 +390,24 @@ class DeviceDataPipeline:
             and jax.devices()[0].platform == "tpu"
             and jax.process_count() == 1
         )
+        # Pallas fused-warp kernel (ops/pallas_warp.py): replaces the dense
+        # separable-tap einsums in the fast-precision planar path; same
+        # single-process TPU gating + the kernel's own shape/VMEM limits.
+        # warp_pallas: "auto" (on when supported) | True | False — False
+        # pins the einsum path (e.g. to reproduce runs recorded before the
+        # kernel existed implementation-for-implementation).
+        self.warp_pallas = (
+            self.hsv_pallas
+            and warp_precision == "fast"
+            and str(warp_pallas).lower() != "false"
+            and pallas_warp.supports(
+                (batch_size, 3, target_size, target_size), True, warp_precision
+            )
+        )
         self.augment_fn = build_device_augment_fn(
             target_size, aug_params, mixup_prob, max_targets, use_mosaic,
             warp_precision=warp_precision, planar=self.planar,
-            hsv_pallas=self.hsv_pallas,
+            hsv_pallas=self.hsv_pallas, warp_pallas=self.warp_pallas,
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per

@@ -27,6 +27,13 @@ from jax.ad_checkpoint import checkpoint_name
 # bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform).
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# Measurement-only knob (ROOFLINE.md byte-lever table): when False, BN batch
+# statistics accumulate in the compute dtype (bf16) instead of f32.
+# Production default stays True — torch BN parity computes stats in f32.
+# Flipped only by tools/measure_bn_stats_dtype.py to measure the
+# "bf16 batch-stat accumulation" lever's img/s delta on hardware.
+BN_FORCE_F32_STATS = True
+
 
 def torch_bias_init(key, shape, dtype, fan_in: int):
     """torch Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
@@ -165,6 +172,7 @@ class ConvBnAct(nn.Module):
             epsilon=self.bn_eps,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            force_float32_reductions=BN_FORCE_F32_STATS,
             name="bn",
         )(x)
         return nn.silu(x)
@@ -233,6 +241,7 @@ class SpaceToDepthStem(nn.Module):
             epsilon=self.bn_eps,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            force_float32_reductions=BN_FORCE_F32_STATS,
             name="bn",
         )(x)
         return nn.silu(x)

@@ -428,22 +428,32 @@ def _affine_boxes(boxes, mask, values: AffineBatchValues, M, out_size: int):
 # fused mosaic + axis-aligned affine (the production fast path)
 # ---------------------------------------------------------------------------
 
-def _tap_matrix_windowed(s: jnp.ndarray, n: int, lo: jnp.ndarray,
-                         hi: jnp.ndarray):
-    """Like `_tap_matrix`, but a tap is kept only when its source index lies
-    in the per-row window [lo, hi) (both (B,) int arrays). Used by the fused
-    mosaic-warp: the window realizes the quadrant's canvas rectangle in
-    source-image coordinates."""
+def _tap_scalars_windowed(s: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray):
+    """Per-row bilinear tap scalars with the quadrant window applied:
+    s (B, out) float source coords, lo/hi (B,) int window -> (j0, w0, w1)
+    each (B, out); tap k lives at source index j0+k with weight wk (zeroed
+    when outside [lo, hi)). The dense `_tap_matrix_windowed` form is exactly
+    scatter(j0, w0) + scatter(j0+1, w1) of these."""
     i0f = jnp.floor(s)
     f = s - i0f
     i0 = i0f.astype(jnp.int32)
-    j = jnp.arange(n, dtype=jnp.int32)
     lo = lo[:, None]
     hi = hi[:, None]
     in0 = (i0 >= lo) & (i0 < hi)
     in1 = (i0 + 1 >= lo) & (i0 + 1 < hi)
     w0 = jnp.where(in0, 1.0 - f, 0.0)
     w1 = jnp.where(in1, f, 0.0)
+    return i0, w0, w1
+
+
+def _tap_matrix_windowed(s: jnp.ndarray, n: int, lo: jnp.ndarray,
+                         hi: jnp.ndarray):
+    """Like `_tap_matrix`, but a tap is kept only when its source index lies
+    in the per-row window [lo, hi) (both (B,) int arrays). Used by the fused
+    mosaic-warp: the window realizes the quadrant's canvas rectangle in
+    source-image coordinates."""
+    i0, w0, w1 = _tap_scalars_windowed(s, lo, hi)
+    j = jnp.arange(n, dtype=jnp.int32)
     hit0 = j == i0[..., None]
     hit1 = j == (i0 + 1)[..., None]
     return w0[..., None] * hit0 + w1[..., None] * hit1
@@ -458,6 +468,8 @@ def mosaic_affine_batch(
     precision: str = "exact",
     planar: bool = False,
     out_dtype=None,
+    warp_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> DeviceSample:
     """Fused 4-image mosaic + axis-aligned affine warp, canvas-free.
 
@@ -551,6 +563,37 @@ def mosaic_affine_batch(
         ],
         axis=1,
     )
+
+    if warp_pallas and planar and precision == "fast":
+        # one Pallas kernel for both separable passes: the y-pass runs as a
+        # 2-sparse row blend built in-register from the tap scalars, the
+        # x-pass as an MXU matmul, accumulated over quadrants in VMEM — the
+        # (G,4,C,S,S) intermediate never touches HBM and XLA's 384-way
+        # batched-small-matmul lowering (measured ~12% MXU utilization,
+        # ROOFLINE.md) is replaced by well-shaped single dots. Same
+        # fast-precision numerics class (bf16 operands, f32 accumulation).
+        from object_detection_cib_tpu.ops import pallas_warp as _pw
+
+        taps = [
+            _tap_scalars_windowed(
+                sy - (y1a[:, q] - y1b[:, q])[:, None].astype(jnp.float32),
+                y1b[:, q], y1b[:, q] + (y2a[:, q] - y1a[:, q]),
+            )
+            for q in range(4)
+        ]
+        j0 = jnp.stack([t[0] for t in taps], axis=1)  # (G, 4, S)
+        w0 = jnp.stack([t[1] for t in taps], axis=1)
+        w1 = jnp.stack([t[2] for t in taps], axis=1)
+        out = _pw.warp_quadrants(
+            imgs, Ax, j0, w0, w1, FILL, interpret=pallas_interpret
+        )  # (G, 3, S, S) f32, pre-FILL
+        out_imgs = jnp.rint(out + FILL)
+        if out_dtype is not None:
+            out_imgs = out_imgs.astype(out_dtype)
+        proc, new_mask = _affine_boxes(mb, mm, values, M, target_size)
+        out_sizes = jnp.full((G, 2), target_size, jnp.int32)
+        return DeviceSample(out_imgs, out_sizes, proc, ml, new_mask)
+
     Ay = jnp.stack(
         [
             _tap_matrix_windowed(

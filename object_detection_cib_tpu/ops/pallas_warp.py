@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: the fused mosaic+affine separable warp in ONE kernel.
+
+`ops.augment.mosaic_affine_batch` (planar fast path) evaluates
+
+    out[g,c,y,x] = sum_q  Ay[g,q] @ (img[g,q,c] - FILL) @ Ax[g,q]^T
+
+as two dense einsums. The tap matrices are 2-sparse (bilinear: <=2 nonzeros
+per output row), so the dense formulation does ~200x the necessary MACs, and
+XLA executes it as 384 small batched matmuls plus an HBM round-trip for the
+(G,4,C,S,S) intermediate — measured 4.5 ms/128-batch @416 at ~12% MXU
+utilization (ROOFLINE.md "dense separable-warp tap matmuls" lever).
+
+This kernel re-orders the contraction to y-pass-then-x-pass and runs both
+passes back to back in VMEM per (group, row-block, quadrant) grid step:
+
+    Wy    = 2-sparse row-blend matrix, built in-register from the per-row
+            tap scalars (j0, w0, w1) with an iota compare — never hits HBM
+    ybl_c = Wy @ (img[g,q,c] - FILL)          (MXU, bf16 x bf16 -> f32)
+    out  += ybl_c @ Ax[g,q]^T                 (MXU, accumulated over q)
+
+The (G,4,C,S,S) intermediate never exists; the only HBM traffic is the u8
+source planes (read once per quadrant), Ax, and the f32 output block.
+
+Numerics: identical accuracy class as the einsum path's precision="fast"
+(bf16 multiplier operands, f32 accumulation) — the pass order swap (y-then-x
+vs x-then-y) reassociates the 4-tap bilinear sum, so pixels can differ from
+the einsum fast path by ~1 unit pre-rint, the same bound fast already has vs
+exact (tests/test_pallas_warp.py asserts the bound vs BOTH paths).
+
+Restrictions (fall back to the einsum path otherwise; the caller gates):
+  * planar images (G, 4, 3, S, S), S % 8 == 0, S <= 512 (VMEM budget:
+    the whole (3, S, S) u8 quadrant block stays resident per grid step —
+    520 KB @416; @640 the block alone is 1.2 MB and the remote Mosaic
+    compiler's ~2-3 MB scratch ceiling starts to bite)
+  * single process (a pallas_call is opaque to GSPMD — same gating as
+    ops/pallas_gather.py / ops/pallas_hsv.py)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supports(shape, planar: bool, precision: str) -> bool:
+    """shape = sample.images.shape (B, 3, S, S) planar."""
+    if not planar or precision != "fast":
+        return False
+    s = shape[-1]
+    return shape[-2] == s and s % 8 == 0 and s <= 512
+
+
+def _pick_yb(s: int) -> int:
+    # output row-block: big enough to load the MXU's M dim, small enough
+    # to keep the out block + scratch in VMEM
+    for yb in (128, 104, 80, 64, 40, 32, 16, 8):
+        if s % yb == 0:
+            return yb
+    return s
+
+
+def _kernel(j0_ref, w0_ref, w1_ref, img_ref, ax_ref, out_ref, *, fill, yb, s):
+    # grid (G, S//yb, 4): q innermost so out accumulates across consecutive
+    # revisits (standard Pallas reduction pattern)
+    q = pl.program_id(2)
+    # Wy (yb, S): 2-sparse row-blend matrix from the tap scalars.
+    # j0 is pre-clamped to [-2, S] so the iota compare is safe; w0/w1 carry
+    # the bounds/window zeroing (built in augment._tap_scalars_windowed).
+    # build the blend matrix in f32 — Mosaic can't minor-dim-reshape
+    # sub-32-bit vectors (w0[:, None] on bf16 fails to lower); the final
+    # (yb, S) matrix casts to bf16 elementwise, which lowers fine
+    j0 = j0_ref[0, 0, 0, 0, :]  # (yb,) int32
+    w0 = w0_ref[0, 0, 0, 0, :]  # (yb,) f32
+    w1 = w1_ref[0, 0, 0, 0, :]
+    hh = jax.lax.broadcasted_iota(jnp.int32, (yb, s), 1)
+    hit0 = hh == j0[:, None]
+    hit1 = hh == (j0[:, None] + 1)
+    zero = jnp.zeros((), jnp.float32)
+    wy = (
+        jnp.where(hit0, w0[:, None], zero) + jnp.where(hit1, w1[:, None], zero)
+    ).astype(jnp.bfloat16)  # (yb, S)
+
+    ax = ax_ref[0, 0]  # (S(out x), S(src w)) bf16
+
+    res = []
+    for c in range(3):
+        # img - FILL is integer-valued in [-114, 141]: exact in bf16.
+        # Cast via int32 — Mosaic has no direct u8 -> f32 lowering.
+        img_c = (
+            img_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32) - fill
+        ).astype(jnp.bfloat16)  # (S, S)
+        ybl = jax.lax.dot(
+            wy, img_c, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)  # (yb, S)
+        res.append(
+            jax.lax.dot_general(
+                ybl,
+                ax,
+                (((1,), (1,)), ((), ())),  # contract src w; out (yb, x)
+                preferred_element_type=jnp.float32,
+            )
+        )
+    val = jnp.stack(res, axis=0)  # (3, yb, S) f32
+
+    @pl.when(q == 0)
+    def _init():
+        out_ref[0] = val
+
+    @pl.when(q > 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + val
+
+
+def warp_quadrants(
+    imgs: jnp.ndarray,
+    ax: jnp.ndarray,
+    j0: jnp.ndarray,
+    w0: jnp.ndarray,
+    w1: jnp.ndarray,
+    fill: float,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """imgs (G,4,3,S,S) u8/float; ax (G,4,S,S) float [out-x, src-w];
+    j0/w0/w1 (G,4,S) y-tap scalars -> (G,3,S,S) f32 equal (fast-precision
+    class) to  sum_q Ay_q @ (img_q - fill) @ Ax_q^T  (pre-FILL-add).
+    """
+    g, four, c, s, s2 = imgs.shape
+    assert four == 4 and c == 3 and s == s2, imgs.shape
+    yb = _pick_yb(s)
+    nyb = s // yb
+    kern = functools.partial(_kernel, fill=float(fill), yb=yb, s=s)
+    # y-tap scalars blocked (1, yb) per (g, yblk, q). The singleton dim
+    # before yb makes the block's last-two dims EQUAL the array's last-two
+    # dims — Mosaic requires block dims be (8, 128)-divisible or
+    # array-equal, and a (1, yb) block over a (nyb, yb) trailing shape
+    # violates that whenever nyb > 1 (S=416 hit it on hardware).
+    j0b = jnp.clip(j0.astype(jnp.int32), -2, s).reshape(g, four, nyb, 1, yb)
+    w0b = w0.astype(jnp.float32).reshape(g, four, nyb, 1, yb)
+    w1b = w1.astype(jnp.float32).reshape(g, four, nyb, 1, yb)
+    return pl.pallas_call(
+        kern,
+        grid=(g, nyb, four),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
+            pl.BlockSpec((1, 1, 3, s, s), lambda i, y, q: (i, q, 0, 0, 0)),
+            pl.BlockSpec((1, 1, s, s), lambda i, y, q: (i, q, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, yb, s), lambda i, y, q: (i, 0, y, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 3, s, s), jnp.float32),
+        interpret=interpret,
+    )(j0b, w0b, w1b, imgs, ax.astype(jnp.bfloat16))

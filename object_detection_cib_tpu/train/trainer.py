@@ -579,6 +579,7 @@ class Trainer:
                 enable_ram_cache=bool(dcfg.get("enable_ram_cache", False)),
                 device_cache=bool(dcfg.get("device_cache", False)),
                 warp_precision=dcfg.get("warp_precision", "fast"),
+                warp_pallas=dcfg.get("warp_pallas", "auto"),
                 corpus_layout=dcfg.get("corpus_layout", "planar"),
                 # multi-host fused epochs run SPMD over the global mesh
                 fused_global_mesh=(

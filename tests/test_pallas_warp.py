@@ -1,0 +1,137 @@
+"""Pallas fused-warp kernel (ops/pallas_warp.py) vs the einsum paths.
+
+The kernel runs the separable mosaic+affine warp's two passes in one VMEM
+pass (y-blend then x-matmul, accumulated over quadrants). It is a
+fast-precision implementation: bf16 multiplier operands, f32 accumulation —
+the same numerics class as mosaic_affine_batch(precision="fast"), but with
+the 4-tap bilinear sum reassociated (y-then-x instead of x-then-y). Pixels
+may therefore differ from BOTH reference paths by a couple of post-rint
+units; boxes/labels/masks ride the identical non-warp code and must match
+exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_detection_cib_tpu.ops import pallas_warp
+from object_detection_cib_tpu.ops.augment import (
+    DeviceSample,
+    mosaic_affine_batch,
+    sample_affine_values_batch,
+)
+
+
+def _sample(B=8, S=64, T=5, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 256, (B, 3, S, S), np.uint8)
+    sizes = np.stack(
+        [rng.integers(S // 2, S + 1, (B,)), rng.integers(S // 2, S + 1, (B,))],
+        axis=-1,
+    ).astype(np.int32)
+    boxes = np.zeros((B, T, 4), np.float32)
+    labels = rng.integers(0, 3, (B, T)).astype(np.int32)
+    mask = np.zeros((B, T), bool)
+    for b in range(B):
+        for t in range(rng.integers(1, T)):
+            x, y = rng.uniform(0, S - 12, 2)
+            w, h = rng.uniform(4, 10, 2)
+            boxes[b, t] = [x, y, x + w, y + h]
+            mask[b, t] = True
+    return DeviceSample(
+        jnp.asarray(imgs), jnp.asarray(sizes), jnp.asarray(boxes),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+
+def _run(sample, key, values, S, flip_do, **kw):
+    return mosaic_affine_batch(
+        sample, key, values, S, flip_do=flip_do, planar=True, **kw
+    )
+
+
+@pytest.mark.parametrize("flip", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kernel_matches_einsum_fast_path(seed, flip):
+    S = 64
+    sample = _sample(B=8, S=S, seed=seed)
+    key = jax.random.PRNGKey(seed)
+    kv, ka, kf = jax.random.split(key, 3)
+    values = sample_affine_values_batch(
+        ka, 2, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+        perspective=0.0,
+    )
+    flip_do = (
+        (jax.random.uniform(kf, (2,)) < 0.5) if flip else None
+    )
+    ref = _run(sample, kv, values, S, flip_do, precision="fast")
+    out = _run(
+        sample, kv, values, S, flip_do, precision="fast",
+        warp_pallas=True, pallas_interpret=True,
+    )
+    # identical non-warp code: boxes/labels/mask/sizes exact
+    np.testing.assert_array_equal(np.asarray(out.boxes), np.asarray(ref.boxes))
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+    np.testing.assert_array_equal(
+        np.asarray(out.labels), np.asarray(ref.labels)
+    )
+    # warp numerics: same fast class, reassociated sum -> post-rint
+    # differences of at most a couple units on a minority of pixels
+    # (measured: max 1.0, 93% bit-match — the fast-vs-exact gap itself is
+    # max 1.0, 92% bit-match on the same inputs)
+    a = np.asarray(out.images, np.float32)
+    b = np.asarray(ref.images, np.float32)
+    assert a.shape == b.shape == (2, 3, S, S)
+    diff = np.abs(a - b)
+    assert diff.max() <= 2.0, diff.max()
+    assert (diff == 0).mean() > 0.85, (diff == 0).mean()
+
+
+def test_kernel_close_to_exact_path():
+    S = 64
+    sample = _sample(B=8, S=S, seed=7)
+    key = jax.random.PRNGKey(7)
+    kv, ka = jax.random.split(key)
+    values = sample_affine_values_batch(
+        ka, 2, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+        perspective=0.0,
+    )
+    exact = _run(sample, kv, values, S, None, precision="exact")
+    out = _run(
+        sample, kv, values, S, None, precision="fast",
+        warp_pallas=True, pallas_interpret=True,
+    )
+    diff = np.abs(
+        np.asarray(out.images, np.float32) - np.asarray(exact.images, np.float32)
+    )
+    # the documented fast-vs-exact contract: a few units from bf16 taps
+    assert diff.max() <= 4.0, diff.max()
+
+
+def test_supports_gating():
+    assert pallas_warp.supports((128, 3, 416, 416), True, "fast")
+    assert not pallas_warp.supports((128, 3, 416, 416), True, "exact")
+    assert not pallas_warp.supports((128, 3, 416, 416), False, "fast")
+    assert not pallas_warp.supports((128, 3, 640, 640), True, "fast")  # VMEM
+    assert not pallas_warp.supports((128, 3, 412, 412), True, "fast")  # %8
+
+
+def test_kernel_out_dtype_boundary():
+    S = 64
+    sample = _sample(B=8, S=S, seed=3)
+    key = jax.random.PRNGKey(3)
+    kv, ka = jax.random.split(key)
+    values = sample_affine_values_batch(
+        ka, 2, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+        perspective=0.0,
+    )
+    out = _run(
+        sample, kv, values, S, None, precision="fast",
+        warp_pallas=True, pallas_interpret=True, out_dtype=jnp.bfloat16,
+    )
+    assert out.images.dtype == jnp.bfloat16
+    v = np.asarray(out.images, np.float32)
+    assert ((v >= 0) & (v <= 255) & (v == np.rint(v))).all()

@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.profile_step import PEAK_HBM_GBPS, parse_xplane  # noqa: E402
 
 
-def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar"):
+def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar",
+          warp_pallas=False):
     from object_detection_cib_tpu.data.device_pipeline import (
         DeviceSample,
         _make_row_gather,
@@ -44,7 +45,8 @@ def build(S, B, N, T, mixup=0.0, precision="fast", layout="planar"):
     hsv_pallas = planar and jax.devices()[0].platform == "tpu"
     core = build_device_augment_fn(S, AugParams(), mixup, 120, True,
                                    warp_precision=precision, planar=planar,
-                                   hsv_pallas=hsv_pallas)
+                                   hsv_pallas=hsv_pallas,
+                                   warp_pallas=warp_pallas)
     rng = np.random.default_rng(0)
     corpus = rng.integers(0, 256, (N, S, S, 3), dtype=np.uint8)
     ds_sizes = jax.device_put(np.full((N, 2), S, np.int32))
@@ -82,11 +84,14 @@ def main():
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--precision", default="fast", choices=["fast", "exact"])
     ap.add_argument("--layout", default="planar", choices=["planar", "flat"])
+    ap.add_argument("--warp-pallas", action="store_true",
+                    help="fused Pallas warp kernel instead of the einsums")
     args = ap.parse_args()
 
     if not args.parse_only:
         fn, fargs = build(args.img, args.batch, args.corpus, args.targets,
-                          precision=args.precision, layout=args.layout)
+                          precision=args.precision, layout=args.layout,
+                          warp_pallas=args.warp_pallas)
         for _ in range(3):
             out, ovf = fn(*fargs)
         jax.block_until_ready(out.images)

@@ -9,17 +9,25 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 
 EPOCHS=${EPOCHS:-300}
 SEEDS=${SEEDS:-"2024 2025"}
+# +data.warp_pallas=False pins the einsum warp so these seed repeats use
+# the identical implementation as the recorded seed-2023 triplet (the
+# Pallas fused-warp kernel is fast-precision-equivalent, not bit-equal)
 COMMON="dataset_name=synthetic-zipf-hard +data.synthetic_images=600
   +data.synthetic_val_images=300 data.batch_size=64 data.pipeline=device
-  +data.device_cache=True data.enable_ram_cache=True
+  +data.device_cache=True data.enable_ram_cache=True +data.warp_pallas=False
   trainer.max_epochs=$EPOCHS trainer.check_val_every_n_epoch=25
   hydra=static print_config=False"
 
 run() {
   name=$1; shift
-  echo "=== $name: $* $(date +%H:%M:%S)"
   local log=runs/orderings_seeds/$name.log
+  if [ -s "runs/orderings_seeds/$name/csv/metrics.csv" ]; then
+    echo "=== $name: done already, skipping"
+    return
+  fi
+  echo "=== $name: $* $(date +%H:%M:%S)"
   mkdir -p runs/orderings_seeds
+  rm -rf "runs/orderings_seeds/$name"
   timeout 5400 python -m object_detection_cib_tpu.cli.train $COMMON \
     paths.output_dir=runs/orderings_seeds/$name "$@" >"$log" 2>&1
   local rc=$?
