@@ -234,7 +234,8 @@ def bench_infer(img=640, batch=32, nc=10, size="s", steps=20):
     return batch * M / min(dt1, dt2)
 
 
-def bench_sustained(epochs=16, corpus=4992, batch=128, img=416):
+def bench_sustained(epochs=16, corpus=4992, batch=128, img=416,
+                    extra_overrides=()):
     """Wall-clock sustained PRODUCTION-LOOP throughput @416 (img/s/chip).
 
     Drives the real Trainer: HBM-resident corpus, fused-epoch scan with
@@ -274,6 +275,7 @@ def bench_sustained(epochs=16, corpus=4992, batch=128, img=416):
             "seed=2023",
             f"paths.output_dir={out}",
             f"callbacks.model_checkpoint.dirpath={out}/ck",
+            *extra_overrides,
         ],
     )
     t = Trainer(cfg)

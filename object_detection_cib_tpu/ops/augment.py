@@ -584,12 +584,11 @@ def mosaic_affine_batch(
         j0 = jnp.stack([t[0] for t in taps], axis=1)  # (G, 4, S)
         w0 = jnp.stack([t[1] for t in taps], axis=1)
         w1 = jnp.stack([t[2] for t in taps], axis=1)
-        out = _pw.warp_quadrants(
-            imgs, Ax, j0, w0, w1, FILL, interpret=pallas_interpret
-        )  # (G, 3, S, S) f32, pre-FILL
-        out_imgs = jnp.rint(out + FILL)
-        if out_dtype is not None:
-            out_imgs = out_imgs.astype(out_dtype)
+        out_imgs = _pw.warp_quadrants(
+            imgs, Ax, j0, w0, w1, FILL,
+            out_dtype=(jnp.float32 if out_dtype is None else out_dtype),
+            interpret=pallas_interpret,
+        )  # (G, 3, S, S): fill-re-add + rint + cast applied in-kernel
         proc, new_mask = _affine_boxes(mb, mm, values, M, target_size)
         out_sizes = jnp.full((G, 2), target_size, jnp.int32)
         return DeviceSample(out_imgs, out_sizes, proc, ml, new_mask)
