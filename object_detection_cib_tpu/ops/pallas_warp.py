@@ -21,6 +21,16 @@ passes back to back in VMEM per (group, row-block, quadrant) grid step:
 The (G,4,C,S,S) intermediate never exists; the only HBM traffic is the u8
 source planes (read once per quadrant), Ax, and the f32 output block.
 
+Contribution skip (r4): a mosaic quadrant's y-window covers only ~half the
+output rows, so for a given output row block ~35-45% of the (row-block,
+quadrant) grid steps have every tap weight zeroed — their two dense dots
+would produce exact zeros. Per-step activity flags are scalar-prefetched
+into SMEM; dead steps skip all six dots, and their block fetches are
+remapped to the running active quadrant's index so the pipeline elides
+their source-plane DMAs (repeated block indices are not re-copied). This
+is the banded-formulation FLOP reduction ROOFLINE.md left on the table,
+realized at row-block granularity.
+
 Numerics: identical accuracy class as the einsum path's precision="fast"
 (bf16 multiplier operands, f32 accumulation) — the pass order swap (y-then-x
 vs x-then-y) reassociates the 4-tap bilinear sum, so pixels can differ from
@@ -63,61 +73,73 @@ def _pick_yb(s: int) -> int:
     return s
 
 
-def _kernel(j0_ref, w0_ref, w1_ref, img_ref, ax_ref, out_ref, acc_ref, *,
-            fill, yb, s):
+def _kernel(act_ref, qf_ref, j0_ref, w0_ref, w1_ref, img_ref, ax_ref,
+            out_ref, acc_ref, *, fill, yb, s):
     # grid (G, S//yb, 4): q innermost; quadrants accumulate into a VMEM f32
     # scratch and the epilogue (re-add FILL, rint, cast) runs in-kernel at
     # the last quadrant — the f32 accumulator never touches HBM, and the
     # output block is written once in its final (usually bf16) dtype. This
     # removed a measured 0.7 ms round/convert fusion plus the f32 output
     # write at @416 b=128.
+    #
+    # act/qf are scalar-prefetched (SMEM): act[g, q, yblk] says whether
+    # quadrant q contributes ANY nonzero tap to this output row block (a
+    # mosaic quadrant covers ~half the output rows, so ~35-45% of grid
+    # steps are dead). Dead steps skip all six dots, and their block
+    # fetches are remapped (index maps below) to the running active
+    # quadrant so consecutive grid steps present identical block indices
+    # and the pipeline elides the u8 source-plane DMA entirely.
+    g = pl.program_id(0)
+    y = pl.program_id(1)
     q = pl.program_id(2)
-    # Wy (yb, S): 2-sparse row-blend matrix from the tap scalars.
-    # j0 is pre-clamped to [-2, S] so the iota compare is safe; w0/w1 carry
-    # the bounds/window zeroing (built in augment._tap_scalars_windowed).
-    # build the blend matrix in f32 — Mosaic can't minor-dim-reshape
-    # sub-32-bit vectors (w0[:, None] on bf16 fails to lower); the final
-    # (yb, S) matrix casts to bf16 elementwise, which lowers fine
-    j0 = j0_ref[0, 0, 0, 0, :]  # (yb,) int32
-    w0 = w0_ref[0, 0, 0, 0, :]  # (yb,) f32
-    w1 = w1_ref[0, 0, 0, 0, :]
-    hh = jax.lax.broadcasted_iota(jnp.int32, (yb, s), 1)
-    hit0 = hh == j0[:, None]
-    hit1 = hh == (j0[:, None] + 1)
-    zero = jnp.zeros((), jnp.float32)
-    wy = (
-        jnp.where(hit0, w0[:, None], zero) + jnp.where(hit1, w1[:, None], zero)
-    ).astype(jnp.bfloat16)  # (yb, S)
-
-    ax = ax_ref[0, 0]  # (S(out x), S(src w)) bf16
-
-    res = []
-    for c in range(3):
-        # img - FILL is integer-valued in [-114, 141]: exact in bf16.
-        # Cast via int32 — Mosaic has no direct u8 -> f32 lowering.
-        img_c = (
-            img_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32) - fill
-        ).astype(jnp.bfloat16)  # (S, S)
-        ybl = jax.lax.dot(
-            wy, img_c, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)  # (yb, S)
-        res.append(
-            jax.lax.dot_general(
-                ybl,
-                ax,
-                (((1,), (1,)), ((), ())),  # contract src w; out (yb, x)
-                preferred_element_type=jnp.float32,
-            )
-        )
-    val = jnp.stack(res, axis=0)  # (3, yb, S) f32
 
     @pl.when(q == 0)
     def _init():
-        acc_ref[...] = val
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    @pl.when(q > 0)
-    def _acc():
-        acc_ref[...] = acc_ref[...] + val
+    @pl.when(act_ref[g, q, y] != 0)
+    def _compute():
+        # Wy (yb, S): 2-sparse row-blend matrix from the tap scalars.
+        # j0 is pre-clamped to [-2, S] so the iota compare is safe; w0/w1
+        # carry the bounds/window zeroing (augment._tap_scalars_windowed).
+        # build the blend matrix in f32 — Mosaic can't minor-dim-reshape
+        # sub-32-bit vectors (w0[:, None] on bf16 fails to lower); the
+        # final (yb, S) matrix casts to bf16 elementwise, which lowers fine
+        j0 = j0_ref[0, 0, 0, 0, :]  # (yb,) int32
+        w0 = w0_ref[0, 0, 0, 0, :]  # (yb,) f32
+        w1 = w1_ref[0, 0, 0, 0, :]
+        hh = jax.lax.broadcasted_iota(jnp.int32, (yb, s), 1)
+        hit0 = hh == j0[:, None]
+        hit1 = hh == (j0[:, None] + 1)
+        zero = jnp.zeros((), jnp.float32)
+        wy = (
+            jnp.where(hit0, w0[:, None], zero)
+            + jnp.where(hit1, w1[:, None], zero)
+        ).astype(jnp.bfloat16)  # (yb, S)
+
+        ax = ax_ref[0, 0]  # (S(out x), S(src w)) bf16
+
+        res = []
+        for c in range(3):
+            # img - FILL is integer-valued in [-114, 141]: exact in bf16.
+            # Cast via int32 — Mosaic has no direct u8 -> f32 lowering.
+            img_c = (
+                img_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32) - fill
+            ).astype(jnp.bfloat16)  # (S, S)
+            ybl = jax.lax.dot(
+                wy, img_c, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)  # (yb, S)
+            res.append(
+                jax.lax.dot_general(
+                    ybl,
+                    ax,
+                    (((1,), (1,)), ((), ())),  # contract src w; out (yb, x)
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        # a skipped quadrant contributed exact zeros in the dense path
+        # (wy == 0 -> val == 0), so skip-then-accumulate is bit-identical
+        acc_ref[...] = acc_ref[...] + jnp.stack(res, axis=0)  # (3, yb, S)
 
     @pl.when(q == 3)
     def _epilogue():
@@ -154,20 +176,53 @@ def warp_quadrants(
     j0b = jnp.clip(j0.astype(jnp.int32), -2, s).reshape(g, four, nyb, 1, yb)
     w0b = w0.astype(jnp.float32).reshape(g, four, nyb, 1, yb)
     w1b = w1.astype(jnp.float32).reshape(g, four, nyb, 1, yb)
+    # per-(g, q, yblk) contribution flags: a quadrant whose y-window misses
+    # the whole row block has every tap weight zeroed — its two dots would
+    # produce exact zeros. act feeds the kernel's compute skip; qfetch
+    # remaps each dead step's block fetch to the running active quadrant
+    # (fall back to the first active, or 0 when the row block is pure
+    # fill) so the pipeline sees repeated indices and elides the DMA.
+    act = ((w0b != 0) | (w1b != 0)).any(-1).any(-1)  # (G, 4, nyb)
+    a_t = act.transpose(0, 2, 1)  # (G, nyb, 4) in grid order
+    qidx = jnp.arange(4, dtype=jnp.int32)
+    last_act = jax.lax.cummax(
+        jnp.where(a_t, qidx, jnp.int32(-1)), axis=2
+    )  # (G, nyb, 4): max active q' <= q, -1 if none yet
+    first_act = jnp.argmax(a_t, axis=-1).astype(jnp.int32)  # 0 when none
+    qfetch = jnp.where(last_act >= 0, last_act, first_act[..., None])
     return pl.pallas_call(
         kern,
-        grid=(g, nyb, four),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, yb), lambda i, y, q: (i, q, y, 0, 0)),
-            pl.BlockSpec((1, 1, 3, s, s), lambda i, y, q: (i, q, 0, 0, 0)),
-            pl.BlockSpec((1, 1, s, s), lambda i, y, q: (i, q, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, yb, s), lambda i, y, q: (i, 0, y, 0)
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g, nyb, four),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 1, yb),
+                    lambda i, y, q, act, qf: (i, qf[i, y, q], y, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, 1, yb),
+                    lambda i, y, q, act, qf: (i, qf[i, y, q], y, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, 1, yb),
+                    lambda i, y, q, act, qf: (i, qf[i, y, q], y, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 3, s, s),
+                    lambda i, y, q, act, qf: (i, qf[i, y, q], 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, s, s),
+                    lambda i, y, q, act, qf: (i, qf[i, y, q], 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 3, yb, s), lambda i, y, q, act, qf: (i, 0, y, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((3, yb, s), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((g, 3, s, s), out_dtype),
-        scratch_shapes=[pltpu.VMEM((3, yb, s), jnp.float32)],
         interpret=interpret,
-    )(j0b, w0b, w1b, imgs, ax.astype(jnp.bfloat16))
+    )(act.astype(jnp.int32), qfetch, j0b, w0b, w1b, imgs,
+      ax.astype(jnp.bfloat16))

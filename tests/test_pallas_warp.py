@@ -135,3 +135,68 @@ def test_kernel_out_dtype_boundary():
     assert out.images.dtype == jnp.bfloat16
     v = np.asarray(out.images, np.float32)
     assert ((v >= 0) & (v <= 255) & (v == np.rint(v))).all()
+
+
+def test_kernel_skips_dead_quadrant_blocks_exactly():
+    """Direct kernel test for the r4 contribution-skip: taps crafted so
+    some (group, row-block, quadrant) grid steps are fully dead (every tap
+    weight zero), including one row block dead for ALL quadrants (pure
+    fill). The skip must be invisible: a dead quadrant contributed exact
+    zeros in the dense formulation, so the output must equal the dense
+    reference computed with the kernel's own dtype chain."""
+    rng = np.random.default_rng(11)
+    G, S = 2, 208  # yb=104 -> nyb=2: exercises multi-row-block + remap
+    yb = pallas_warp._pick_yb(S)
+    nyb = S // yb
+    assert nyb == 2
+    fill = 114.0
+    imgs = jnp.asarray(rng.integers(0, 256, (G, 4, 3, S, S), np.uint8))
+    ax = jnp.asarray(rng.standard_normal((G, 4, S, S)), jnp.float32)
+    j0 = jnp.asarray(rng.integers(0, S - 1, (G, 4, S)), jnp.int32)
+    w0 = rng.random((G, 4, S), dtype=np.float32)
+    w1 = rng.random((G, 4, S), dtype=np.float32)
+    # group 0: row block 0 dead for every quadrant (pure fill rows);
+    # block 1 alive only for quadrant 2.
+    w0[0, :, :yb] = 0.0
+    w1[0, :, :yb] = 0.0
+    w0[0, [0, 1, 3], yb:] = 0.0
+    w1[0, [0, 1, 3], yb:] = 0.0
+    # group 1: quadrant 1 dead everywhere; block 0 additionally loses q3.
+    w0[1, 1] = 0.0
+    w1[1, 1] = 0.0
+    w0[1, 3, :yb] = 0.0
+    w1[1, 3, :yb] = 0.0
+    w0 = jnp.asarray(w0)
+    w1 = jnp.asarray(w1)
+
+    out = pallas_warp.warp_quadrants(
+        imgs, ax, j0, w0, w1, fill, out_dtype=jnp.float32, interpret=True
+    )
+
+    # dense reference with the kernel's exact dtype chain (bf16 operands,
+    # f32 accumulation, bf16 stage boundary, y-pass then x-pass)
+    hh = np.arange(S)[None, :]
+    wy = (
+        np.where(hh == np.asarray(j0)[..., None], np.asarray(w0)[..., None], 0)
+        + np.where(
+            hh == np.asarray(j0)[..., None] + 1, np.asarray(w1)[..., None], 0
+        )
+    )  # (G, 4, S out, S src)
+    wy_b = jnp.asarray(wy).astype(jnp.bfloat16)
+    img_b = (imgs.astype(jnp.float32) - fill).astype(jnp.bfloat16)
+    ybl = jnp.einsum(
+        "gqos,gqcsw->gqcow", wy_b, img_b,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    # accumulate quadrants sequentially, matching the kernel's q-order
+    # (f32 addition is order-sensitive; the kernel does ((q0+q1)+q2)+q3)
+    acc = jnp.zeros((G, 3, S, S), jnp.float32)
+    for q in range(4):
+        acc = acc + jnp.einsum(
+            "gcow,gxw->gcox", ybl[:, q], ax[:, q].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    ref = jnp.rint(acc + fill)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # and the pure-fill block really is fill
+    assert (np.asarray(out)[0, :, :yb] == fill).all()
