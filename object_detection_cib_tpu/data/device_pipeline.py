@@ -151,6 +151,7 @@ def build_device_augment_fn(
     planar: bool = False,
     hsv_pallas: bool = False,
     warp_pallas: bool = False,
+    feed_dtype=jnp.bfloat16,
 ):
     """One jitted function: (DeviceSample 4B[, 4B]) + key -> train Batch.
 
@@ -290,12 +291,13 @@ def build_device_augment_fn(
         if planar:  # back to NHWC for the network; fuses with the normalize
             images = jnp.transpose(images, (0, 2, 3, 1))
         batch = Batch(
-            # bf16 feed: the network computes in bf16 anyway; halves the
-            # host->device transfer and avoids an on-device convert+relayout.
-            # The divide runs in f32 regardless of the incoming stage dtype
+            # feed dtype follows the net dtype (trainer wires bf16 for bf16
+            # nets — halves the feed traffic and avoids an on-device
+            # convert+relayout; f32 nets get a full-precision feed). The
+            # divide runs in f32 regardless of the incoming stage dtype
             # (f32, or the fused path's integer-valued bf16) so the result
             # is bitwise identical across boundary dtypes.
-            images=(images.astype(jnp.float32) / 255.0).astype(jnp.bfloat16),
+            images=(images.astype(jnp.float32) / 255.0).astype(feed_dtype),
             boxes=boxes,
             labels=jnp.where(mask, labels, 0),
             mask=mask,
@@ -354,6 +356,7 @@ class DeviceDataPipeline:
         device_cache: bool = False,
         fused_global_mesh=None,
         corpus_layout: str = "planar",
+        feed_dtype=jnp.bfloat16,
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -404,10 +407,12 @@ class DeviceDataPipeline:
                 (batch_size, 3, target_size, target_size), True, warp_precision
             )
         )
+        self.feed_dtype = feed_dtype
         self.augment_fn = build_device_augment_fn(
             target_size, aug_params, mixup_prob, max_targets, use_mosaic,
             warp_precision=warp_precision, planar=self.planar,
             hsv_pallas=self.hsv_pallas, warp_pallas=self.warp_pallas,
+            feed_dtype=feed_dtype,
         )
         self.image_repeat_factors = getattr(sampler, "image_repeat_factors", None)
         # capacity-overflow accounting: device scalars accumulated async per

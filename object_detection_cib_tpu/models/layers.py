@@ -220,9 +220,10 @@ class SpaceToDepthStem(nn.Module):
             b, h, w, _ = x.shape
             z = x.reshape(b, h // 2, 2, w // 2, 2, 3)
             z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
-            if self.dtype is not None:
-                kp = kp.astype(self.dtype)
-                z = z.astype(self.dtype)
+            # match flax nn.Conv semantics: dtype=None promotes operands
+            # to a common dtype (so a bf16 feed into an f32 net computes
+            # in f32 instead of raising a conv dtype TypeError)
+            z, kp = nn.dtypes.promote_dtype(z, kp, dtype=self.dtype)
             return jax.lax.conv_general_dilated(
                 z,
                 kp,

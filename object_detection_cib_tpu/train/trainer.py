@@ -231,6 +231,15 @@ class Trainer:
         tcfg = cfg["trainer"]
         name = cfg["dataset_name"]
 
+        # fake* manifests list nonexistent paths; reading them without
+        # fake_mode would crash deep in the reader with FileNotFoundError
+        # (r4 verdict UX finding). The name implies the mode.
+        if name.startswith("fake") and not dcfg.get("fake_mode"):
+            rank_zero_print(
+                f"dataset '{name}' implies data.fake_mode=True"
+            )
+            dcfg["fake_mode"] = True
+
         self.train_info = _load_dataset(name, "train", dcfg) if cfg.get("train", True) else None
         self.val_info = _load_dataset(name, "validation", dcfg)
         classes = (self.train_info or self.val_info).classes
@@ -581,6 +590,15 @@ class Trainer:
                 warp_precision=dcfg.get("warp_precision", "fast"),
                 warp_pallas=dcfg.get("warp_pallas", "auto"),
                 corpus_layout=dcfg.get("corpus_layout", "planar"),
+                # feed dtype follows the net dtype: bf16 nets take the
+                # half-traffic feed; f32 nets (dtype=None) get f32 so the
+                # stem's conv sees matching operand dtypes (r4 regression:
+                # unconditional bf16 feed + f32 s2d-stem kernel -> TypeError)
+                feed_dtype=(
+                    jnp.bfloat16
+                    if self.net.dtype == jnp.bfloat16
+                    else jnp.float32
+                ),
                 # multi-host fused epochs run SPMD over the global mesh
                 fused_global_mesh=(
                     self.mesh

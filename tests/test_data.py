@@ -455,3 +455,37 @@ def test_cache_reference_pickle_fixture():
     # loaded manifest drives the normal API surface
     assert info.get_instance_count()["person"] == 1
     assert info.filter("sub", ["person"]).samples[0].id == "img-000001"
+
+
+def test_fake_dataset_name_implies_fake_mode(tmp_path):
+    """Regression (r4 verdict UX): `dataset_name=fake` without
+    `data.fake_mode=True` built a manifest of nonexistent paths and
+    crashed deep in the reader with a raw FileNotFoundError. The fake*
+    name now implies the mode at Trainer setup."""
+    from pathlib import Path as _P
+
+    from object_detection_cib_tpu.config import compose
+    from object_detection_cib_tpu.train.trainer import Trainer
+
+    cfg = compose(
+        _P(__file__).resolve().parent.parent / "configs",
+        overrides=[
+            "debug=fdr",
+            "experiment=yv5n",
+            "dataset_name=fake",  # deliberately no data.fake_mode=True
+            "data.batch_size=4",
+            "data.target_image_size=64",
+            "data.max_targets=40",
+            "data.num_workers=1",
+            f"paths.output_dir={tmp_path}/run",
+            f"callbacks.model_checkpoint.dirpath={tmp_path}/ckpt",
+            "logger=csv",
+            f"logger.csv.save_dir={tmp_path}/csv",
+        ],
+    )
+    t = Trainer(cfg)
+    assert cfg["data"]["fake_mode"] is True
+    # the reader must produce synthetic pixels, not hit the filesystem
+    pf = t._train_prefetcher()
+    batch = next(iter(pf))
+    assert batch.images.shape[0] == 4

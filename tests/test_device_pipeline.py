@@ -452,3 +452,43 @@ def test_epoch_plan_global_batch_mixup_shapes():
     assert groups.shape == (4, 32)  # 32 imgs / B=8 -> 4 steps of 4*8 quads
     assert secs.shape == (4, 32)
     assert len(keys) == 4
+
+
+def test_f32_feed_dtype_through_s2d_stem():
+    """Regression (r4 87f17d9): the device pipeline fed bf16 images
+    unconditionally, and SpaceToDepthStem's raw lax conv with dtype=None
+    (= model.net.dtype=float32, trainer.py) raised a TypeError on the
+    bf16-input x f32-kernel operand pair. The feed dtype must follow the
+    net dtype, and the stem must promote mismatched operands regardless."""
+    from object_detection_cib_tpu.models.layers import SpaceToDepthStem
+
+    info = build_fake_manifest(num_images=16, num_classes=4, seed=0)
+    stem = SpaceToDepthStem(features=16)
+
+    # f32 feed: the batch arrives f32 and the stem computes in f32
+    pipe = DeviceDataPipeline(
+        info, target_size=S, batch_size=4, aug_params=AugParams(),
+        max_targets=40, seed=0, fake_mode=True, device_cache=True,
+        feed_dtype=jnp.float32,
+    )
+    b = next(iter(pipe))
+    assert b.images.dtype == jnp.float32
+    params = stem.init(jax.random.PRNGKey(0), b.images)
+    y = stem.apply(params, b.images, train=False)
+    assert y.dtype == jnp.float32
+
+    # bf16 feed into an f32 (dtype=None) stem: promoted, not a TypeError
+    pipe_bf = DeviceDataPipeline(
+        info, target_size=S, batch_size=4, aug_params=AugParams(),
+        max_targets=40, seed=0, fake_mode=True, device_cache=True,
+    )
+    b16 = next(iter(pipe_bf))
+    assert b16.images.dtype == jnp.bfloat16
+    y16 = stem.apply(params, b16.images, train=False)
+    assert y16.dtype == jnp.float32
+
+    # the two feeds carry the same pixels (divide runs in f32 either way)
+    np.testing.assert_array_equal(
+        np.asarray(b16.images, np.float32),
+        np.asarray(b.images.astype(jnp.bfloat16), np.float32),
+    )
