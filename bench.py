@@ -284,7 +284,21 @@ def bench_sustained(epochs=16, corpus=4992, batch=128, img=416,
     if not imgs:
         imgs, walls = t.epoch_imgs, t.epoch_walls
     steady = sum(imgs) / max(sum(walls), 1e-9)
-    return steady, [round(x, 1) for x in t.epoch_ips]
+    # per-epoch vector from the DEVICE timeline (readiness stamps), not
+    # fetch-to-fetch host windows: the host can fetch an epoch's metric
+    # stack early/late under dispatch-ahead, which made the r4 vector
+    # publish physically impossible entries (58k img/s). The aggregate
+    # above stays fetch-based (jitter cancels over the sum and it
+    # includes host boundary work).
+    dev_walls = t.device_epoch_walls()
+    if dev_walls:
+        n_ep = t.epoch_imgs[-1] if t.epoch_imgs else corpus
+        per_epoch = [
+            round(n_ep / dev_walls[e], 1) for e in sorted(dev_walls)
+        ]
+    else:  # non-fused fallback (host pipeline): fetch-based vector
+        per_epoch = [round(x, 1) for x in t.epoch_ips]
+    return steady, per_epoch
 
 
 def parse_args():
@@ -295,8 +309,9 @@ def parse_args():
     ap.add_argument("--size", default="s", choices=["n", "s", "m", "l"])
     ap.add_argument("--skip-nms", action="store_true")
     ap.add_argument("--skip-416", action="store_true")
-    ap.add_argument("--infer", action="store_true",
-                    help="also measure end-to-end inference "
+    ap.add_argument("--infer", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="measure end-to-end inference "
                          "(forward+decode+NMS) images/sec (extra compile; "
                          "off by default to protect the driver's budget)")
     ap.add_argument("--skip-sizes", action="store_true",
@@ -341,6 +356,7 @@ def main(args):
         bench_infer(img=args.img, size=args.size) if args.infer else None
     )
     ips_416 = None
+    infer_ips_416 = None
     if not args.skip_416:
         # the reference's actual training recipe resolution
         # (kod/configs/data/default.yaml:10)
@@ -348,6 +364,8 @@ def main(args):
             img=416, batch=args.batch, steps=args.steps, size=args.size,
             remat=args.remat, s2d=args.s2d, auto_layout=args.auto_layout,
         )
+        if args.infer and args.img != 416:
+            infer_ips_416 = bench_infer(img=416, size=args.size)
 
     # m/l characterization: the s-variant @640 is HBM-bandwidth-bound by its
     # own arithmetic intensity (ROOFLINE.md); the wider variants show the
@@ -419,6 +437,9 @@ def main(args):
             "train_ips_416px": None if ips_416 is None else round(ips_416, 2),
             "nms_p50_ms": None if nms_p50 is None else round(nms_p50, 3),
             "infer_ips": None if infer_ips is None else round(infer_ips, 2),
+            "infer_ips_416": (
+                None if infer_ips_416 is None else round(infer_ips_416, 2)
+            ),
             "last_loss": round(last_loss, 4),
             "batch": args.batch,
             "img": args.img,

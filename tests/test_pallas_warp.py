@@ -12,6 +12,9 @@ exactly.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,3 +203,58 @@ def test_kernel_skips_dead_quadrant_blocks_exactly():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     # and the pure-fill block really is fill
     assert (np.asarray(out)[0, :, :yb] == fill).all()
+
+
+@pytest.mark.slow
+def test_kernel_skip_lowers_on_hardware():
+    """ADVICE r4: the scalar-prefetch-driven dynamic block index maps are
+    covered in interpret mode above; this exercises their actual Mosaic
+    lowering on a TPU. Runs in a subprocess (conftest pins the suite's
+    backend to CPU); skips when no TPU is attached. Hardware vs interpret
+    may reassociate the f32 tap sums, so the post-rint contract is
+    off-by-at-most-one."""
+    import subprocess
+    import sys
+
+    src = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.devices()[0].platform != "tpu":
+    print("NO_TPU"); raise SystemExit(0)
+from object_detection_cib_tpu.ops import pallas_warp
+rng = np.random.default_rng(11)
+G, S = 2, 208
+yb = pallas_warp._pick_yb(S)
+imgs = jnp.asarray(rng.integers(0, 256, (G, 4, 3, S, S), np.uint8))
+ax = jnp.asarray(rng.standard_normal((G, 4, S, S)), jnp.float32)
+j0 = jnp.asarray(rng.integers(0, S - 1, (G, 4, S)), jnp.int32)
+w0 = rng.random((G, 4, S), dtype=np.float32)
+w1 = rng.random((G, 4, S), dtype=np.float32)
+w0[0, :, :yb] = 0.0; w1[0, :, :yb] = 0.0       # pure-fill row block
+w0[0, [0, 1, 3], yb:] = 0.0; w1[0, [0, 1, 3], yb:] = 0.0
+w0[1, 1] = 0.0; w1[1, 1] = 0.0                  # quadrant dead everywhere
+w0, w1 = jnp.asarray(w0), jnp.asarray(w1)
+hw = pallas_warp.warp_quadrants(imgs, ax, j0, w0, w1, 114.0,
+                                out_dtype=jnp.float32, interpret=False)
+it = pallas_warp.warp_quadrants(imgs, ax, j0, w0, w1, 114.0,
+                                out_dtype=jnp.float32, interpret=True)
+d = np.abs(np.asarray(hw) - np.asarray(it))
+assert d.max() <= 1.0, d.max()
+assert (np.asarray(hw)[0, :, :yb] == 114.0).all()
+print("HW_OK", float(d.max()))
+"""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parents[1])
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True,
+        env=env, timeout=1200,
+    )
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU attached")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "HW_OK" in r.stdout
