@@ -26,6 +26,76 @@ from object_detection_cib_tpu.train.trainer import (
 DEFAULT_CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
 
 
+def _sweep_dims(argv):
+    """Split overrides into fixed ones and comma-list sweep dimensions
+    (hydra -m semantics: `a=1,2 b=x,y` -> 4 jobs; bracketed values like
+    `tags=[a,b]` are single values, not sweeps)."""
+    fixed, dims = [], []
+    for a in argv:
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            if "," in v and not v.lstrip().startswith(("[", "{")):
+                dims.append((k, v.split(",")))
+                continue
+        fixed.append(a)
+    return fixed, dims
+
+
+def multirun(config_dir, fixed, dims):
+    """Sequential sweep launcher (parity: hydra's basic launcher under
+    `-m`, kod README sweep spellings + optimized_metric collection,
+    kod/lightning/hydra_utils/misc.py:108-128).
+
+    Jobs are the cartesian product of the sweep dimensions; job i runs
+    with output_dir <base>/multirun/<i>, and a summary table + (when
+    optimized_metric is set) the best job are printed and written to
+    <base>/multirun/summary.json."""
+    import itertools
+    import json as _json
+
+    base_cfg = compose(config_dir, "train", fixed + [f"{k}={vs[0]}" for k, vs in dims])
+    base_out = base_cfg.get("paths", {}).get("output_dir", "runs/train")
+    jobs = list(itertools.product(*[[(k, v) for v in vs] for k, vs in dims]))
+    results = []
+    for i, combo in enumerate(jobs):
+        ov = [f"{k}={v}" for k, v in combo]
+        label = ",".join(ov)
+        if is_main_process():
+            print(f"── multirun job {i}/{len(jobs) - 1}: {label}", flush=True)
+        cfg = compose(
+            config_dir, "train",
+            fixed + ov + [f"paths.output_dir={base_out}/multirun/{i}"],
+        )
+        try:
+            r = run_job(cfg)
+            value = r if not isinstance(r, dict) else None
+            results.append({"job": i, "overrides": ov, "metric": value,
+                            "metrics": r if isinstance(r, dict) else None})
+        except Exception as e:  # one failing point must not kill the sweep
+            if is_main_process():
+                print(f"multirun job {i} FAILED: {e!r}", flush=True)
+            results.append({"job": i, "overrides": ov, "error": repr(e)[:300]})
+    if is_main_process():
+        out = Path(base_out) / "multirun"
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "summary.json").write_text(_json.dumps(results, indent=2))
+        print("── multirun summary")
+        for r in results:
+            tail = (
+                f"metric={r['metric']}" if r.get("metric") is not None
+                else (f"ERROR {r['error']}" if "error" in r else "done")
+            )
+            print(f"  job {r['job']}: {','.join(r['overrides'])}  {tail}")
+        scored = [r for r in results if r.get("metric") is not None]
+        if scored:
+            best = max(scored, key=lambda r: r["metric"])
+            print(
+                f"  best: job {best['job']} "
+                f"({','.join(best['overrides'])}) = {best['metric']}"
+            )
+    return results
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = DEFAULT_CONFIG_DIR
@@ -34,7 +104,16 @@ def main(argv=None):
     # join a multi-host pod before any jax.devices() call if the coordinator
     # env vars are set (parity: kod/configs/trainer/ddp.yaml via Lightning)
     maybe_initialize_from_env()
+    if "-m" in argv or "--multirun" in argv:
+        argv = [a for a in argv if a not in ("-m", "--multirun")]
+        fixed, dims = _sweep_dims(argv)
+        if dims:
+            return multirun(config_dir, fixed, dims)
     cfg = compose(config_dir, "train", argv)
+    return run_job(cfg)
+
+
+def run_job(cfg):
     # select the jax platform BEFORE any backend touch (is_main_process()
     # below initializes a backend; with trainer.platform=cpu the run must
     # never try the TPU plugin — whose init blocks in a connect-retry loop

@@ -141,6 +141,74 @@ def _make_row_gather(corpus_shape, planar: bool = False):
     return (lambda c: c), (lambda ds, idx: ds[idx])
 
 
+def make_sharded_corpus_gather(mesh, axis: str = "data"):
+    """Gather-by-global-index from a corpus SHARDED along its row axis.
+
+    The HBM-resident fused-epoch corpus replicates per device by default,
+    which caps it at one device's HBM (STATUS r4 limitation 5). Sharding
+    rows over the `data` mesh axis removes that ceiling; the price is an
+    exchange, because an epoch plan draws ARBITRARY global rows for every
+    batch shard (the plan must stay global so sharded and replicated
+    placements train bitwise-identically).
+
+    SPMD formulation (shard_map; GSPMD cannot partition a gather along the
+    operand's sharded dim without all-gathering the operand):
+      * every device receives the full (replicated, tiny) index vector,
+        masks the indices it owns (exactly one owner per index), and
+        gathers those rows locally — absent rows contribute zeros;
+      * one tiled psum_scatter over `axis` then both sums the one-hot
+        contributions and deals each device exactly its batch shard. The
+        exchange moves one batch per step over ICI — the same bytes a
+        host feed would move over PCIe, but device-to-device.
+
+    Returns gather(ds, idx): ds (N, ...) sharded P(axis) on dim 0 with N
+    divisible by the axis size, idx (B,) global row ids with B divisible
+    by the axis size -> (B, ...) sharded P(axis) on dim 0. Bool leaves are
+    exchanged as uint8 (collectives have no pred lowering) and restored.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax spelling
+        from jax.experimental.shard_map import shard_map
+
+    n = int(mesh.shape[axis])
+
+    def gather(ds, idx):
+        N = ds.shape[0]
+        assert N % n == 0, (N, n)
+        assert idx.shape[0] % n == 0, (
+            f"group size {idx.shape[0]} must divide over the data axis "
+            f"({n}) for the sharded-corpus exchange"
+        )
+        shard_len = N // n
+        is_bool = ds.dtype == jnp.bool_
+
+        def local(ds_sh, idx_rep):
+            r = jax.lax.axis_index(axis)
+            loc = idx_rep.astype(jnp.int32) - r * shard_len
+            own = (loc >= 0) & (loc < shard_len)
+            part = ds_sh[jnp.clip(loc, 0, shard_len - 1)]
+            if is_bool:
+                part = part.astype(jnp.uint8)
+            part = jnp.where(
+                own.reshape((-1,) + (1,) * (part.ndim - 1)),
+                part,
+                jnp.zeros((), part.dtype),
+            )
+            return jax.lax.psum_scatter(
+                part, axis, scatter_dimension=0, tiled=True
+            )
+
+        out = shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+        )(ds, idx)
+        return out != 0 if is_bool else out
+
+    return gather
+
+
 def build_device_augment_fn(
     target_size: int,
     aug: AugParams,
@@ -357,6 +425,8 @@ class DeviceDataPipeline:
         fused_global_mesh=None,
         corpus_layout: str = "planar",
         feed_dtype=jnp.bfloat16,
+        corpus_sharding: str = "replicated",
+        corpus_mesh=None,
     ):
         assert native_loader.available(), "native loader not built"
         self.info = dataset_info
@@ -407,6 +477,31 @@ class DeviceDataPipeline:
                 (batch_size, 3, target_size, target_size), True, warp_precision
             )
         )
+        # HBM corpus placement: replicated (default; capped at one
+        # device's HBM) | sharded (rows dealt over the mesh's data axis,
+        # gathered by global index with a psum_scatter exchange — same
+        # training stream bitwise, no per-device replication ceiling)
+        self.corpus_mesh = corpus_mesh if corpus_mesh is not None else (
+            fused_global_mesh
+        )
+        self.corpus_sharded = (
+            corpus_sharding == "sharded"
+            and device_cache
+            and self.corpus_mesh is not None
+            and int(self.corpus_mesh.shape.get("data", 1)) > 1
+        )
+        if corpus_sharding == "sharded" and device_cache and not self.corpus_sharded:
+            import warnings
+
+            warnings.warn(
+                "corpus_sharding=sharded needs a mesh with data-axis > 1; "
+                "falling back to replicated placement"
+            )
+        if self.corpus_sharded:
+            # Pallas kernels are opaque to GSPMD; the sharded path uses
+            # the shard_map masked gather + partitionable XLA augment ops
+            self.hsv_pallas = False
+            self.warp_pallas = False
         self.feed_dtype = feed_dtype
         self.augment_fn = build_device_augment_fn(
             target_size, aug_params, mixup_prob, max_targets, use_mosaic,
@@ -490,7 +585,31 @@ class DeviceDataPipeline:
         prep, self._gather = _make_row_gather(
             canvases.shape, planar=self.planar
         )
-        if self._fused_global:
+        pad_rows = 0
+        if self.corpus_sharded:
+            # rows dealt over the data axis; every corpus leaf pads to a
+            # multiple of the axis size (pad rows are never indexed — the
+            # epoch plan draws ids < n). Each host materializes only the
+            # shards it addresses, so host RAM scales down with the mesh
+            # too (make_array_from_callback pulls per-shard slices).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nshard = int(self.corpus_mesh.shape["data"])
+            pad_rows = -n % nshard
+            rows_sh = NamedSharding(self.corpus_mesh, P("data"))
+
+            def dput(a):
+                a = np.asarray(a)
+                if pad_rows:
+                    a = np.concatenate(
+                        [a, np.zeros((pad_rows,) + a.shape[1:], a.dtype)]
+                    )
+                return jax.make_array_from_callback(
+                    a.shape, rows_sh, lambda i: a[i]
+                )
+
+            self._gather = make_sharded_corpus_gather(self.corpus_mesh)
+        elif self._fused_global:
             # global replicated placement: every host decodes the identical
             # full corpus (dataset_info is the same on all hosts), so each
             # host's full copy IS the local shard of a replicated array
@@ -528,11 +647,22 @@ class DeviceDataPipeline:
         core = self.augment_fn  # DeviceSample(-pair) + key -> Batch
         gather = self._gather
 
-        def pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx):
-            return DeviceSample(
-                gather(ds_imgs, idx), ds_sizes[idx], ds_tb[idx], ds_tl[idx],
-                ds_tm[idx],
-            )
+        if self.corpus_sharded:
+            # every corpus leaf goes through the masked psum_scatter
+            # gather — plain ds[idx] on a row-sharded array would make
+            # GSPMD all-gather the operand
+            def pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx):
+                return DeviceSample(
+                    gather(ds_imgs, idx), gather(ds_sizes, idx),
+                    gather(ds_tb, idx), gather(ds_tl, idx),
+                    gather(ds_tm, idx),
+                )
+        else:
+            def pick(ds_imgs, ds_sizes, ds_tb, ds_tl, ds_tm, idx):
+                return DeviceSample(
+                    gather(ds_imgs, idx), ds_sizes[idx], ds_tb[idx],
+                    ds_tl[idx], ds_tm[idx],
+                )
 
         if self.mixup_prob > 0.0:
 

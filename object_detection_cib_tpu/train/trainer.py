@@ -653,6 +653,10 @@ class Trainer:
                 warp_precision=dcfg.get("warp_precision", "fast"),
                 warp_pallas=dcfg.get("warp_pallas", "auto"),
                 corpus_layout=dcfg.get("corpus_layout", "planar"),
+                corpus_sharding=dcfg.get("corpus_sharding", "replicated"),
+                corpus_mesh=(
+                    self.mesh if self.mesh.devices.size > 1 else None
+                ),
                 # feed dtype follows the net dtype: bf16 nets take the
                 # half-traffic feed; f32 nets (dtype=None) get f32 so the
                 # stem's conv sees matching operand dtypes (r4 regression:

@@ -124,3 +124,16 @@ def test_inspect_sampler(tmp_path):
     assert set(per_epoch) == {0, 1}
     assert (tmp_path / "out" / "class_aware_stats.json").exists()
     assert (tmp_path / "out" / "class_aware_hist.png").exists()
+
+
+def test_multirun_sweep_dims():
+    from object_detection_cib_tpu.cli.train import _sweep_dims
+
+    fixed, dims = _sweep_dims([
+        "experiment=yv5n", "data.mixup_prob=0.0,0.3", "seed=1,2",
+        "tags=[a,b]", "print_config=False",
+    ])
+    assert ("data.mixup_prob", ["0.0", "0.3"]) in dims
+    assert ("seed", ["1", "2"]) in dims
+    assert "tags=[a,b]" in fixed and "experiment=yv5n" in fixed
+    assert len(dims) == 2

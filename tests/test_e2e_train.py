@@ -224,3 +224,40 @@ def test_optimized_metric_retrieval(tmp_path):
         ]
     )
     assert isinstance(value, float) and 0.0 <= value <= 1.0
+
+
+def test_multirun_sweep(tmp_path):
+    """`-m` sweep: cartesian jobs, per-job output dirs, summary with the
+    best job by optimized_metric (parity: hydra basic launcher + sweeps,
+    kod/lightning/hydra_utils/misc.py:108-128)."""
+    import json
+
+    from object_detection_cib_tpu.cli.train import main
+
+    results = main([
+        "-m",
+        "debug=fdr",
+        "experiment=yv5n",
+        "dataset_name=fake",
+        "data.fake_mode=True",
+        "data.batch_size=4",
+        "data.target_image_size=64",
+        "data.max_targets=40",
+        "data.num_workers=1",
+        "seed=1,2",
+        "optimized_metric=map50",
+        f"paths.output_dir={tmp_path}/run",
+        f"callbacks.model_checkpoint.dirpath={tmp_path}/ckpt",
+        "logger=csv",
+        f"logger.csv.save_dir={tmp_path}/csv",
+        "print_config=False",
+    ])
+    assert len(results) == 2
+    assert all("error" not in r for r in results)
+    assert all(isinstance(r["metric"], float) for r in results)
+    summary = json.loads(
+        (tmp_path / "run" / "multirun" / "summary.json").read_text()
+    )
+    assert [r["job"] for r in summary] == [0, 1]
+    assert (tmp_path / "run" / "multirun" / "0").exists()
+    assert (tmp_path / "run" / "multirun" / "1").exists()
