@@ -40,8 +40,15 @@ def _param_count(variables):
 
 @pytest.mark.parametrize("size,nc", list(GOLDEN_PARAM_COUNTS))
 def test_param_count_parity(size, nc):
+    # eval_shape: parameter COUNTS only need shapes — tracing skips the
+    # init computation entirely (the m/l variants cost ~20 s each to
+    # actually initialize on the 1-core CI host; fast-tier budget)
     net = build_network(nc, size)
-    assert _param_count(_init(net)) == GOLDEN_PARAM_COUNTS[(size, nc)]
+    shapes = jax.eval_shape(
+        lambda k: net.init(k, jnp.zeros((1, 64, 64, 3)), train=False),
+        jax.random.PRNGKey(0),
+    )
+    assert _param_count(shapes) == GOLDEN_PARAM_COUNTS[(size, nc)]
 
 
 def test_output_shapes():

@@ -110,7 +110,31 @@ def test_spatial_guard_rejects_thin_shards():
         with pytest.raises(ValueError, match="rows per shard"):
             jstep(state, batch)
 
-    # boundary case compiles and runs: 128/32/2 == 2 rows per shard
+    # boundary case passes the guard (trace-time check; the full
+    # compile+run of this program lives in the slow tier — it alone cost
+    # ~70 s of the fast tier's 5-minute budget on the 1-core CI host)
     jstep, state, batch = make(128)
+    jax.eval_shape(jstep, state, batch)
+
+
+@pytest.mark.slow
+def test_spatial_boundary_shard_runs():
+    """The 2-rows-per-shard boundary program actually compiles and runs."""
+    net = build_network(NC, "n")
+    opt = SmartSGD(OptimizerConfig(max_epochs=10), steps_per_epoch=10)
+    mesh = make_mesh(num_data=4, num_model=2)
+    head_sh = NamedSharding(mesh, P("data"))
+    shape = FeatureShape(128, 128)
+    step = make_train_step(net, default_anchors(), shape, opt,
+                           head_sharding=head_sh)
+    jstep = jit_train_step(step, mesh, spatial=True)
+    state = create_train_state(net, jax.random.PRNGKey(0), shape, opt)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        jnp.asarray(rng.random((8, 128, 128, 3), np.float32)),
+        jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]] * 8),
+        jnp.zeros((8, 1), jnp.int32),
+        jnp.ones((8, 1), bool),
+    )
     _, metrics = jstep(state, batch)
     assert np.isfinite(float(metrics.total))
