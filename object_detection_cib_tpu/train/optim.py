@@ -196,7 +196,30 @@ class SmartSGD:
                 [flat_g[i].ravel().astype(jnp.float32) for i in idxs]
             )
             bc = jnp.concatenate([flat_b[i].ravel() for i in idxs])
+            # run the group update on a LANE-ALIGNED 2-D view, fenced from
+            # reshape motion: left as f32[N], XLA's fusion re-factorized the
+            # buffer to fit some downstream kernel reshape — for yolov5m
+            # (N=20,870,784 = 36234*576) it picked f32[36234,1,192,3],
+            # whose minor dim wastes 125/128 of every (8,128) tile, and the
+            # whole-model update ran at 16 GB/s, ~90 ms of a 351 ms step
+            # (runs/r5/bn_stats_and_layout.log; s/l have odd param counts
+            # that dodge the re-factorization, which is why only m sank to
+            # 20% MFU in BENCH_r04). The (rows, 128) view is always
+            # tile-perfect; barriers keep the factorization ours.
+            n = pc.size
+            pad = -n % 128
+            if pad:
+                pc = jnp.pad(pc, (0, pad))
+                gc = jnp.pad(gc, (0, pad))
+                bc = jnp.pad(bc, (0, pad))
+            pc, gc, bc = jax.lax.optimization_barrier(
+                (pc.reshape(-1, 128), gc.reshape(-1, 128),
+                 bc.reshape(-1, 128))
+            )
             npc, nbc = upd_flat(gc, pc, bc, grp)
+            npc, nbc = jax.lax.optimization_barrier((npc, nbc))
+            npc = npc.reshape(-1)[:n]
+            nbc = nbc.reshape(-1)[:n]
             off = 0
             for i, size, shape in zip(idxs, sizes, shapes):
                 new_p[i] = jax.lax.dynamic_slice_in_dim(npc, off, size).reshape(shape)
