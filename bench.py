@@ -284,20 +284,37 @@ def bench_sustained(epochs=16, corpus=4992, batch=128, img=416,
     if not imgs:
         imgs, walls = t.epoch_imgs, t.epoch_walls
     steady = sum(imgs) / max(sum(walls), 1e-9)
-    # per-epoch vector from the DEVICE timeline (readiness stamps), not
-    # fetch-to-fetch host windows: the host can fetch an epoch's metric
-    # stack early/late under dispatch-ahead, which made the r4 vector
-    # publish physically impossible entries (58k img/s). The aggregate
-    # above stays fetch-based (jitter cancels over the sum and it
-    # includes host boundary work).
+    # per-epoch vector: the raw fetch-to-fetch windows jitter under
+    # dispatch-ahead (the host can fetch an epoch's metric stack early or
+    # late), which made the r4 vector publish physically impossible
+    # entries (58k img/s). Device-readiness stamps fix that exactly but
+    # the monitor thread serializes the remote tunnel (−57% sustained,
+    # runs/r5) so it is opt-in (KOD_EPOCH_READY_TELEMETRY=1). Default:
+    # MERGE implausibly short fetch windows into their successor — the
+    # boundary moved, the images+walls sums don't — so every published
+    # entry is a physically meaningful rate. The aggregate stays the
+    # plain fetch-based sum either way.
     dev_walls = t.device_epoch_walls()
+    n_ep = t.epoch_imgs[-1] if t.epoch_imgs else corpus
     if dev_walls:
-        n_ep = t.epoch_imgs[-1] if t.epoch_imgs else corpus
         per_epoch = [
             round(n_ep / dev_walls[e], 1) for e in sorted(dev_walls)
         ]
-    else:  # non-fused fallback (host pipeline): fetch-based vector
-        per_epoch = [round(x, 1) for x in t.epoch_ips]
+    else:
+        merged = []  # [imgs, wall] per published window
+        walls = t.epoch_walls
+        med = sorted(walls)[len(walls) // 2] if walls else 0.0
+        for im, w in zip(t.epoch_imgs, walls):
+            if merged and merged[-1][1] < 0.5 * med:
+                merged[-1][0] += im
+                merged[-1][1] += w
+            else:
+                merged.append([im, w])
+        if len(merged) > 1 and merged[-1][1] < 0.5 * med:
+            im, w = merged.pop()
+            merged[-1][0] += im
+            merged[-1][1] += w
+        per_epoch = [round(im / max(w, 1e-9), 1) for im, w in merged]
     return steady, per_epoch
 
 

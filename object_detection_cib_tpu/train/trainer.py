@@ -578,28 +578,38 @@ class Trainer:
         import queue as _queue
         import threading as _threading
 
-        if jax.process_count() > 1:
-            # single-process telemetry only: a side thread blocking on a
-            # global array can starve the main thread on small hosts and
-            # blow collective-init deadlines (gloo's 30 s rendezvous);
-            # multi-host runs keep the fetch-based aggregate instead
+        if jax.process_count() > 1 or not os.environ.get(
+            "KOD_EPOCH_READY_TELEMETRY"
+        ):
+            # OPT-IN only (KOD_EPOCH_READY_TELEMETRY=1). Measured on the
+            # remote-tunnel TPU: a side thread blocking on the in-flight
+            # epoch serializes the transport — the sustained loop fell
+            # 2,000 -> ~870 img/s with the monitor on (runs/r5). On
+            # multi-host it can additionally starve collective-init
+            # deadlines (gloo's 30 s rendezvous). Default telemetry is
+            # the fetch-window merge in bench.py instead.
             return
         if self._ready_thread is None:
             self._ready_q = _queue.Queue()
 
-            def _worker():
+            q, out = self._ready_q, self.epoch_ready_ts
+
+            def _worker():  # deliberately closes over locals, NOT self:
+                # a daemon thread holding the Trainer would pin its device
+                # arrays (state + HBM corpus) long after the Trainer dies
                 while True:
-                    item = self._ready_q.get()
+                    item = q.get()
                     if item is None:
+                        q.task_done()
                         return
                     ep, arr = item
                     try:
                         jax.block_until_ready(arr)
-                        self.epoch_ready_ts.append((ep, time.time()))
+                        out.append((ep, time.time()))
                     except Exception:  # a failing epoch surfaces in fit()
                         pass
                     finally:
-                        self._ready_q.task_done()
+                        q.task_done()
 
             self._ready_thread = _threading.Thread(
                 target=_worker, daemon=True, name="epoch-ready-monitor"
@@ -613,6 +623,8 @@ class Trainer:
         the first stamped epoch has no predecessor and is omitted)."""
         if self._ready_q is not None:
             self._ready_q.join()
+            self._ready_q.put(None)  # retire the worker; drop its refs
+            self._ready_thread = None
         ts = dict(self.epoch_ready_ts)
         return {
             e: ts[e] - ts[e - 1]
