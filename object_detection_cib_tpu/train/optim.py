@@ -212,12 +212,19 @@ class SmartSGD:
                 pc = jnp.pad(pc, (0, pad))
                 gc = jnp.pad(gc, (0, pad))
                 bc = jnp.pad(bc, (0, pad))
+            # fence the INPUTS only: the barrier pins the update's operand
+            # shapes to the aligned 2-D view (un-fenced, XLA re-factorizes
+            # the computation to a tile-hostile shape and the update runs
+            # at 16 GB/s — measured 276 vs 325 img/s on yolov5m); leaving
+            # the OUTPUTS un-fenced lets the result alias the params
+            # buffer in place (an output barrier blocked the aliasing and
+            # tipped m @640 b=96 over HBM under the bench's AUTO-layout
+            # double-compile)
             pc, gc, bc = jax.lax.optimization_barrier(
                 (pc.reshape(-1, 128), gc.reshape(-1, 128),
                  bc.reshape(-1, 128))
             )
             npc, nbc = upd_flat(gc, pc, bc, grp)
-            npc, nbc = jax.lax.optimization_barrier((npc, nbc))
             npc = npc.reshape(-1)[:n]
             nbc = nbc.reshape(-1)[:n]
             off = 0
